@@ -1,0 +1,108 @@
+"""Benchmark: flow sampling throughput (samples/sec/chip) + camel-2D accuracy.
+
+Headline metric per BASELINE.json: samples/sec/chip on the README camel-2D
+configuration (PWQuadManager.create_model(2, 4, [3]*3)), with the relative
+error of the trained integral vs the analytic camel value as the accuracy
+gate.  vs_baseline is measured against the 1e7 samples/sec/chip north star.
+
+Prints ONE JSON line.
+"""
+
+import json
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def camel(x):
+    return (jnp.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.04)
+            + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
+
+
+def camel_exact():
+    g = 0.2 * (math.sqrt(math.pi) / 2) * (math.erf(0.25 / 0.2) + math.erf(0.75 / 0.2))
+    return 2 * g * g
+
+
+def time_sampler(fn, *args, reps=20):
+    fn(*args)  # compile + warm
+    jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    from nf_tpu import PWQuadManager
+    from nf_tpu.training import optimizers
+    from nf_tpu.flows import model as fmodel
+    from nf_tpu.ops.pwquad_sampler import build_sampler
+
+    # ---- train the README camel config (reference README.md:32-46)
+    NF = PWQuadManager(n_flow=2, seed=0)
+    NF.create_model(2, 4, [3] * 3)
+    opt = optimizers.adamax(2e-3, 1e-4)
+    t_train0 = time.time()
+    NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=10000, epochs=150,
+        pretty_progressbar=False, mini_batch_size=10000, integrate=False,
+        preburn_time=20)
+    train_time = time.time() - t_train0
+
+    # accuracy at fixed neval (north star: match reference integral/error)
+    neval, nitn = 100_000, 10
+    sig, sig_err = NF.integrate(camel, nitn, neval, seed=123)
+    exact = camel_exact()
+    rel_err = abs(sig - exact) / exact
+
+    # ---- sampling throughput
+    n = 1 << 21  # 2M samples per call
+    params, bn_state = NF.best_params
+
+    # fused Pallas sampler (eval mode, on-chip RNG)
+    pallas_sps = 0.0
+    try:
+        sampler = build_sampler(NF._flow, params, bn_state)
+        jit_sampler = jax.jit(lambda seed: sampler(seed, n))
+        dt = time_sampler(jit_sampler, jnp.int32(1))
+        pallas_sps = n / dt
+    except Exception as e:
+        print(f"# pallas sampler unavailable: {e}")
+
+    # XLA path (train-mode forward like reference integrate(), manager.py:397)
+    @jax.jit
+    def xla_sample(key):
+        w = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
+        x, jac, _ = fmodel.forward(NF._flow, params, bn_state, w, False)
+        return x, jac
+
+    dt = time_sampler(xla_sample, jax.random.PRNGKey(0))
+    xla_sps = n / dt
+
+    sps = max(pallas_sps, xla_sps)
+    print(json.dumps({
+        "metric": "camel2d_flow_samples_per_sec_per_chip",
+        "value": sps,
+        "unit": "samples/s",
+        "vs_baseline": sps / 1e7,
+        "extra": {
+            "pallas_samples_per_sec": pallas_sps,
+            "xla_samples_per_sec": xla_sps,
+            "camel2d_integral": sig,
+            "camel2d_integral_err": sig_err,
+            "camel2d_exact": exact,
+            "camel2d_rel_err": rel_err,
+            "neval": neval, "nitn": nitn,
+            "train_seconds": train_time,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

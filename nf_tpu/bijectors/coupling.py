@@ -1,0 +1,153 @@
+"""Coupling-cell bijector transforms (Muller et al. 2019, sections 4.1/4.2).
+
+Each transform is a pure function
+
+    (params, state, x, jac, train) -> (y, jac', state')
+
+where ``x`` is ``[B, n_flow]``, ``jac`` is the running *multiplicative*
+Jacobian ``[B]`` (the reference multiplies raw per-cell factors rather than
+accumulating logs — reference coupling_cells.py:66-70,141,224-225 — and we
+reproduce that convention for parity; use f64 for long chains).
+
+The math matches the reference exactly:
+  * affine: coupling_cells.py:50-70
+  * piecewise-linear: coupling_cells.py:107-142
+  * piecewise-quadratic: coupling_cells.py:159-228
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from nf_tpu.bijectors import conditioner
+
+
+# ---------------------------------------------------------------------------
+# Affine coupling (reference coupling_cells.py:6-70)
+# ---------------------------------------------------------------------------
+
+def affine_forward(params, state, x, jac, pass_through: int, train: bool):
+    """y_B = atan(x_B * 20*e^s + relu(t)) / (pi/2).
+
+    Quirk replicated from the reference (coupling_cells.py:68): the 2/pi
+    Jacobian factor is applied ONCE regardless of the number of transformed
+    dimensions (exact only for transform_size == 1).
+    """
+    xA = x[:, :pass_through]
+    xB = x[:, pass_through:]
+    t = xB.shape[1]
+
+    z, new_state = conditioner.apply(params, state, xA, train)
+    z = z.reshape(z.shape[0], 2, t)
+    s0 = jnp.exp(z[:, 0])
+    s1 = jnp.maximum(z[:, 1], 0.0)
+
+    u = xB * (20.0 * s0) + s1
+    diff = 1.0 / (u * u + 1.0)
+    yB = jnp.arctan(u) / (math.pi / 2.0)
+
+    jac = jac * jnp.prod(20.0 * s0, axis=1) * (1.0 / (math.pi / 2.0)) * jnp.prod(diff, axis=1)
+    return jnp.concatenate([xA, yB], axis=1), jac, new_state
+
+
+# ---------------------------------------------------------------------------
+# Piecewise-linear coupling (reference coupling_cells.py:73-142)
+# ---------------------------------------------------------------------------
+
+def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool):
+    """PDF bin heights from the conditioner; piecewise-linear CDF transform."""
+    xA = x[:, :pass_through]
+    xB = x[:, pass_through:]
+    t = xB.shape[1]
+
+    z, new_state = conditioner.apply(params, state, xA, train)
+    q = jnp.exp(z.reshape(z.shape[0], t, n_bins))
+
+    qsum = jnp.cumsum(q, axis=-1)
+    qnorm = qsum[:, :, -1:]
+    q = q / (qnorm / n_bins)                      # PDF heights, mean 1 * n_bins
+    qsum = qsum / qnorm                           # CDF at right bin edges
+    qsum = jnp.concatenate([jnp.zeros_like(qsum[:, :, :1]), qsum], axis=-1)
+
+    alphas = xB * n_bins
+    bins = jnp.floor(alphas)
+    alphas = (alphas - bins) / n_bins
+    bins = bins.astype(jnp.int32)
+
+    cdf_int = jnp.take_along_axis(qsum, bins[:, :, None], axis=-1)[:, :, 0]
+    cdf_flt = jnp.take_along_axis(q, bins[:, :, None], axis=-1)[:, :, 0]
+    yB = cdf_flt * alphas + cdf_int
+
+    jac = jac * jnp.prod(cdf_flt, axis=-1)
+    return jnp.concatenate([xA, yB], axis=1), jac, new_state
+
+
+# ---------------------------------------------------------------------------
+# Piecewise-quadratic coupling (reference coupling_cells.py:144-228)
+# ---------------------------------------------------------------------------
+
+def pwquad_compute(v_raw, w_raw, xB):
+    """Core PWQuad transform given raw conditioner outputs.
+
+    ``v_raw``: [B, T, n_bins+1] vertex logits, ``w_raw``: [B, T, n_bins]
+    width logits, ``xB``: [B, T] inputs (already clamped).  Returns
+    ``(yB, jac_factor)`` where ``jac_factor`` is the per-sample product of
+    per-dimension PDF values.  Shared by the jnp path and used as the
+    specification for the Pallas kernel.
+    """
+    n_bins = w_raw.shape[-1]
+
+    w = jnp.exp(w_raw)
+    wsum = jnp.cumsum(w, axis=-1)
+    wnorm = wsum[:, :, -1:]
+    w = w / wnorm
+    wsum = wsum / wnorm
+
+    v = jnp.exp(v_raw)
+    # total integral of the piecewise-linear PDF: sum of trapezoids
+    vnorm_tot = jnp.sum((v[:, :, :-1] + v[:, :, 1:]) * 0.5 * w, axis=-1, keepdims=True)
+    v = v / vnorm_tot
+
+    # bin index: number of right bin edges <= xB  (reference's masked-argmax
+    # over finder*Wsum, coupling_cells.py:199-202, is equivalent)
+    b = jnp.sum((wsum <= xB[:, :, None]).astype(jnp.int32), axis=-1)
+    b = jnp.minimum(b, n_bins - 1)[:, :, None]
+
+    wsum2 = jnp.concatenate([jnp.zeros_like(wsum[:, :, :1]), wsum], axis=-1)
+    w_b = jnp.take_along_axis(w, b, axis=-1)[:, :, 0]
+    edge_b = jnp.take_along_axis(wsum2, b, axis=-1)[:, :, 0]
+    alphas = (xB - edge_b) / w_b
+
+    # CDF value at the left edge of each bin (trapezoid cumsum of the
+    # normalized PDF), reference coupling_cells.py:209-211
+    vw = jnp.concatenate(
+        [jnp.zeros_like(w[:, :, :1]),
+         jnp.cumsum((v[:, :, :-1] + v[:, :, 1:]) * 0.5 * w, axis=-1)],
+        axis=-1,
+    )
+    shift = jnp.take_along_axis(vw, b, axis=-1)[:, :, 0]
+    v_lo = jnp.take_along_axis(v, b, axis=-1)[:, :, 0]
+    v_hi = jnp.take_along_axis(v, b + 1, axis=-1)[:, :, 0]
+
+    yB = 0.5 * alphas**2 * (v_hi - v_lo) * w_b + alphas * v_lo * w_b + shift
+    pdf_vals = v_lo + (v_hi - v_lo) * alphas      # lerp(v_lo, v_hi, alpha)
+    return yB, jnp.prod(pdf_vals, axis=-1)
+
+
+def pwquad_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool):
+    xA = x[:, :pass_through]
+    xB = x[:, pass_through:]
+    t = xB.shape[1]
+
+    # stability clamp, reference coupling_cells.py:167
+    xB = jnp.minimum(xB, 1.0 - 1e-6)
+
+    z, new_state = conditioner.apply(params, state, xA, train)
+    z = z.reshape(z.shape[0], t, 2 * n_bins + 1)
+    v_raw = z[:, :, : n_bins + 1]
+    w_raw = z[:, :, n_bins + 1:]
+
+    yB, factor = pwquad_compute(v_raw, w_raw, xB)
+    return jnp.concatenate([xA, yB], axis=1), jac * factor, new_state

@@ -1,0 +1,105 @@
+"""Flow model: a static plan of ops over ``(x, jac)`` plus params/state pytrees.
+
+The reference builds ``torch.nn.Sequential`` chains over a packed
+``[B, n_flow+1]`` tensor whose last column is the running Jacobian
+(reference manager.py:439-453,484-499,538-598).  Here the model is:
+
+  * ``Flow`` — a hashable static description (cells + op sequence), safe to
+    close over in jitted functions;
+  * ``params`` / ``state`` — tuples of per-cell pytrees (state = BatchNorm
+    running statistics).
+
+``forward`` composes the ops, carrying ``(x, jac)`` explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from nf_tpu.bijectors import conditioner, coupling
+
+
+@dataclasses.dataclass(frozen=True)
+class CellCfg:
+    kind: str                      # 'affine' | 'pwlin' | 'pwquad'
+    flow_size: int
+    pass_through: int
+    n_bins: Optional[int]          # None for affine
+    nn_sizes: tuple                # hidden widths + output width
+    hidden_bias: bool              # affine cells: True; PW cells: False
+
+
+@dataclasses.dataclass(frozen=True)
+class Flow:
+    """Static flow description.
+
+    ``ops`` is a tuple of
+      ('cell', cell_index)        -- apply coupling cell
+      ('roll', shift)             -- cyclic shift of dims (reference RollLayer)
+      ('gather', perm_tuple)      -- reorder dims to (pass_through || transform)
+      ('scatter', perm_tuple)     -- inverse reorder (reference DeMaskLayer)
+    """
+    n_flow: int
+    cells: tuple  # tuple[CellCfg]
+    ops: tuple
+
+
+def make_cell_cfg(kind, flow_size, pass_through, n_bins, nn_layers) -> CellCfg:
+    transform = flow_size - pass_through
+    if kind == "affine":
+        out = 2 * transform
+        hidden_bias = True
+        n_bins = None
+    elif kind == "pwlin":
+        out = transform * n_bins
+        hidden_bias = False
+    elif kind == "pwquad":
+        out = transform * (2 * n_bins + 1)
+        hidden_bias = False
+    else:
+        raise ValueError(f"unknown cell kind {kind!r}")
+    return CellCfg(kind, flow_size, pass_through, n_bins, tuple(nn_layers) + (out,), hidden_bias)
+
+
+def init_cell(key, cfg: CellCfg, dtype):
+    return conditioner.init(key, cfg.pass_through, cfg.nn_sizes, cfg.hidden_bias, dtype)
+
+
+def apply_cell(cfg: CellCfg, params, state, x, jac, train: bool):
+    if cfg.kind == "affine":
+        return coupling.affine_forward(params, state, x, jac, cfg.pass_through, train)
+    if cfg.kind == "pwlin":
+        return coupling.pwlin_forward(params, state, x, jac, cfg.pass_through, cfg.n_bins, train)
+    return coupling.pwquad_forward(params, state, x, jac, cfg.pass_through, cfg.n_bins, train)
+
+
+def forward(flow: Flow, params, state, w, train: bool):
+    """Map latent points ``w`` [B, n_flow] -> ``(x, jac, new_state)``.
+
+    ``jac`` starts at 1 (the reference's AddJacobian, layers.py:66-77) and is
+    multiplied by each cell's factor.
+    """
+    x = w
+    jac = jnp.ones((w.shape[0],), dtype=w.dtype)
+    new_state = list(state)
+    for op in flow.ops:
+        tag = op[0]
+        if tag == "cell":
+            idx = op[1]
+            cfg = flow.cells[idx]
+            x, jac, new_state[idx] = apply_cell(cfg, params[idx], state[idx], x, jac, train)
+        elif tag == "roll":
+            x = jnp.roll(x, op[1], axis=-1)
+        elif tag == "gather":
+            x = x[:, np.asarray(op[1])]
+        elif tag == "scatter":
+            inv = np.empty(len(op[1]), dtype=np.int64)
+            inv[np.asarray(op[1])] = np.arange(len(op[1]))
+            x = x[:, inv]
+        else:
+            raise ValueError(f"unknown op {tag!r}")
+    return x, jac, tuple(new_state)

@@ -1,0 +1,286 @@
+"""Fused Pallas TPU sampling kernel for PWQuad flows.
+
+Production unweighting/integration draws billions of samples from a *trained*
+flow; that path is the throughput headline (BASELINE.md north star: >=1e7
+samples/sec/chip).  This kernel fuses, in one pass with zero HBM reads of
+latent points:
+
+    on-chip PRNG -> every coupling cell (folded conditioner MLP + piecewise-
+    quadratic CDF + Jacobian product) -> x, jac written once to HBM
+
+Design (see /opt/skills/guides/pallas_guide.md):
+  * batch lives in the lane dimension: every per-dimension quantity is an
+    ``[8, 128]`` f32 tile (1024 samples per grid step per sublane-tile), so
+    all transform math is dense VPU work;
+  * eval-mode BatchNorm layers are affine and are folded into the adjacent
+    Linear weights host-side (``fold_eval_params``), leaving a bare
+    dense+bias+ReLU MLP whose tiny matmuls are unrolled as scalar-broadcast
+    FMAs from SMEM-resident weights;
+  * the bin search is an unrolled masked select over ``n_bins`` (no gather);
+  * uniform latents come from ``pltpu.prng_random_bits`` seeded per grid
+    step, so the kernel is write-bandwidth-bound.
+
+The jnp reference semantics live in nf_tpu.bijectors.coupling.pwquad_compute;
+``test_pallas.py`` checks the kernel against that path (interpret mode on CPU,
+compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE  # samples per grid step
+
+
+# ---------------------------------------------------------------------------
+# Host-side parameter folding
+# ---------------------------------------------------------------------------
+
+def _fold_conditioner(params, state, eps=1e-5):
+    """Collapse eval-mode [BN] Linear [BN] chains into (W_eff, b_eff) pairs.
+
+    Eval BatchNorm is affine: y = (x - m) / sqrt(v + eps) * g + b.  Folding it
+    into the neighboring Linear keeps the MLP mathematically identical while
+    removing all normalization work from the kernel.
+    Returns ``[(W0, b0), ..., (Wf, bf)]`` (ReLU between all but the last).
+    """
+    def bn_affine(p, s):
+        scale = np.asarray(p["scale"]) / np.sqrt(np.asarray(s["var"]) + eps)
+        shift = np.asarray(p["bias"]) - np.asarray(s["mean"]) * scale
+        return scale, shift
+
+    layers = []
+    # input BN folded into first linear
+    s_in, t_in = bn_affine(params["bn_in"], state["bn_in"])
+    for i, lin in enumerate(params["linears"]):
+        w = np.asarray(lin["w"])
+        b = np.asarray(lin.get("b", np.zeros(w.shape[1])))
+        if i == 0:
+            w_eff = s_in[:, None] * w
+            b_eff = t_in @ w + b
+        else:
+            w_eff, b_eff = w, b
+        # output BN of this hidden layer
+        s_o, t_o = bn_affine(params["bns"][i], state["bns"][i])
+        w_eff = w_eff * s_o[None, :]
+        b_eff = b_eff * s_o + t_o
+        layers.append((w_eff.astype(np.float32), b_eff.astype(np.float32)))
+    wf = np.asarray(params["final"]["w"]).astype(np.float32)
+    bf = np.asarray(params["final"]["b"]).astype(np.float32)
+    if not params["linears"]:
+        wf = s_in[:, None].astype(np.float32) * wf
+        bf = (t_in @ np.asarray(params["final"]["w"])).astype(np.float32) + bf
+    layers.append((wf, bf))
+    return layers
+
+
+def fold_eval_params(flow, params, state):
+    """Fold all cells; returns (static_plan, flat list of weight arrays)."""
+    folded = []
+    for p, s in zip(params, state):
+        folded.append(_fold_conditioner(p, s))
+    return folded
+
+
+# ---------------------------------------------------------------------------
+# Kernel body builders (all loops unrolled at trace time over static config)
+# ---------------------------------------------------------------------------
+
+def _mlp(xs_pass, weight_refs, layer_sizes):
+    """Unrolled scalar-broadcast MLP on a list of [SUB, LANE] activations."""
+    h = xs_pass
+    n_layers = len(layer_sizes)
+    ref_idx = 0
+    for li, (fan_in, fan_out) in enumerate(layer_sizes):
+        w_ref = weight_refs[ref_idx]
+        b_ref = weight_refs[ref_idx + 1]
+        ref_idx += 2
+        out = []
+        for o in range(fan_out):
+            acc = jnp.full((SUB, LANE), b_ref[o], dtype=jnp.float32)
+            for i in range(fan_in):
+                acc = acc + h[i] * w_ref[i, o]
+            out.append(acc)
+        if li < n_layers - 1:
+            out = [jnp.maximum(z, 0.0) for z in out]
+        h = out
+    return h
+
+
+def _pwquad_dim(z_v, z_w, xB):
+    """One transformed dimension: lists of [SUB,LANE] logits -> (yB, pdf).
+
+    Mirrors nf_tpu.bijectors.coupling.pwquad_compute with the bin search and
+    gathers unrolled as masked selects.
+    """
+    n_bins = len(z_w)
+    w = [jnp.exp(z) for z in z_w]
+    v = [jnp.exp(z) for z in z_v]
+
+    wtot = w[0]
+    for k in range(1, n_bins):
+        wtot = wtot + w[k]
+    inv_wtot = 1.0 / wtot
+    w = [wk * inv_wtot for wk in w]
+
+    vnorm = (v[0] + v[1]) * 0.5 * w[0]
+    for k in range(1, n_bins):
+        vnorm = vnorm + (v[k] + v[k + 1]) * 0.5 * w[k]
+    inv_vnorm = 1.0 / vnorm
+    v = [vk * inv_vnorm for vk in v]
+
+    # edges and CDF-at-edge prefix sums, then masked select of the active bin
+    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    edge = zero
+    vw = zero
+    w_b = zero
+    edge_b = zero
+    vw_b = zero
+    v_lo = zero
+    v_hi = zero
+    for k in range(n_bins):
+        nxt_edge = edge + w[k]
+        upper = nxt_edge if k < n_bins - 1 else jnp.full((SUB, LANE), 2.0, jnp.float32)
+        m = jnp.logical_and(xB >= edge, xB < upper).astype(jnp.float32)
+        w_b = w_b + m * w[k]
+        edge_b = edge_b + m * edge
+        vw_b = vw_b + m * vw
+        v_lo = v_lo + m * v[k]
+        v_hi = v_hi + m * v[k + 1]
+        vw = vw + (v[k] + v[k + 1]) * 0.5 * w[k]
+        edge = nxt_edge
+
+    alpha = (xB - edge_b) / w_b
+    yB = 0.5 * alpha * alpha * (v_hi - v_lo) * w_b + alpha * v_lo * w_b + vw_b
+    pdf = v_lo + (v_hi - v_lo) * alpha
+    return yB, pdf
+
+
+def _uniform_from_bits(bits):
+    """uint32 random bits -> f32 uniforms in [0, 1)."""
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+# ---------------------------------------------------------------------------
+# Sampler construction
+# ---------------------------------------------------------------------------
+
+def build_sampler(flow, params, state, interpret: bool = False):
+    """Compile a fused sampler for a (trained) PWQuad flow in eval mode.
+
+    Returns ``sample(seed: int32, n: int) -> (x [n, n_flow] f32, jac [n] f32)``.
+    ``n`` is rounded up to a multiple of 1024 internally and truncated on
+    return.  Raises ValueError for non-PWQuad cells.
+    """
+    for c in flow.cells:
+        if c.kind != "pwquad":
+            raise ValueError("fused sampler supports PWQuad flows only")
+
+    folded = fold_eval_params(flow, params, state)
+    n_flow = flow.n_flow
+
+    # flat weight operand list + per-cell slices / static shapes
+    flat_weights = []
+    cell_meta = []
+    for cfg, layers in zip(flow.cells, folded):
+        sizes = [(w.shape[0], w.shape[1]) for w, _ in layers]
+        start = len(flat_weights)
+        for w, b in layers:
+            flat_weights.append(np.ascontiguousarray(w))
+            flat_weights.append(np.ascontiguousarray(b))
+        cell_meta.append((cfg.pass_through, cfg.n_bins, sizes, start))
+
+    ops = flow.ops
+
+    def kernel(seed_ref, *refs):
+        x_out = refs[-2]
+        jac_out = refs[-1]
+        weight_refs = refs[:-2]
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.prng_random_bits((n_flow, SUB, LANE))
+        xs = [_uniform_from_bits(bits[d]) for d in range(n_flow)]
+        jac = jnp.ones((SUB, LANE), jnp.float32)
+
+        for op in ops:
+            tag = op[0]
+            if tag == "roll":
+                s = op[1] % n_flow
+                xs = xs[-s:] + xs[:-s] if s else xs
+            elif tag == "gather":
+                xs = [xs[p] for p in op[1]]
+            elif tag == "scatter":
+                inv = [0] * n_flow
+                for pos, p in enumerate(op[1]):
+                    inv[p] = pos
+                xs = [xs[i] for i in inv]
+            elif tag == "cell":
+                pass_through, n_bins, sizes, start = cell_meta[op[1]]
+                t = n_flow - pass_through
+                wrefs = weight_refs[start:start + 2 * len(sizes)]
+                z = _mlp(xs[:pass_through], wrefs, sizes)
+                width = 2 * n_bins + 1
+                new_tail = []
+                for ti in range(t):
+                    xB = jnp.minimum(xs[pass_through + ti], 1.0 - 1e-6)
+                    z_v = z[ti * width: ti * width + n_bins + 1]
+                    z_w = z[ti * width + n_bins + 1: (ti + 1) * width]
+                    yB, pdf = _pwquad_dim(z_v, z_w, xB)
+                    new_tail.append(yB)
+                    jac = jac * pdf
+                xs = xs[:pass_through] + new_tail
+
+        for d in range(n_flow):
+            x_out[d] = xs[d]
+        jac_out[0] = jac
+
+    def sample(seed, n):
+        n_tiles = -(-n // TILE)
+        n_pad = n_tiles * TILE
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        operands = [jnp.asarray([seed], jnp.int32)]
+        for arr in flat_weights:
+            a = jnp.asarray(arr)
+            if a.ndim == 1:
+                a = a.reshape(-1)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            operands.append(a)
+
+        grid = (n_tiles,)
+        x_t, jac_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((n_flow, SUB, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SUB, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_flow, n_tiles * SUB, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_tiles * SUB, LANE), jnp.float32),
+            ),
+            interpret=interpret,
+        )(*operands)
+        x = x_t.reshape(n_flow, n_pad).T[:n]
+        jac = jac_t.reshape(n_pad)[:n]
+        return x, jac
+
+    return sample
+
+
+def make_jit_sampler(flow, params, state, n, interpret=False):
+    """Jitted fixed-size sampler: ``f(seed) -> (x, jac)``."""
+    sampler = build_sampler(flow, params, state, interpret=interpret)
+    return jax.jit(functools.partial(sampler, n=n))

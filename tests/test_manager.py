@@ -1,0 +1,162 @@
+"""Trainer/integrator tests: camel-2D regression, loss modes, early stop,
+checkpointing, and integrate() accuracy.
+
+The camel-2D acceptance value is the analytic integral of the README example
+(reference README.md:32-46): two isotropic Gaussians (sigma=0.2) at 0.25/0.75
+on the diagonal, integrated over [0,1]^2.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nf_tpu import PWQuadManager, PWLinManager, AffineManager
+from nf_tpu.training import optimizers
+
+
+def camel(x):
+    return (jnp.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.04)
+            + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
+
+
+def camel_exact():
+    g = 0.2 * (math.sqrt(math.pi) / 2) * (math.erf(0.25 / 0.2) + math.erf(0.75 / 0.2))
+    return 2 * g * g
+
+
+def test_camel_2d_train_and_integrate():
+    NF = PWQuadManager(n_flow=2, seed=0)
+    NF.create_model(2, 4, [3] * 3)
+    opt = optimizers.adamax(2e-3, 1e-4)
+    sig, sig_err = NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=2000, epochs=60,
+        pretty_progressbar=False, mini_batch_size=2000, integrate=True,
+        preburn_time=10)
+    exact = camel_exact()
+    assert sig_err > 0
+    assert abs(sig - exact) < 6 * sig_err + 0.02 * exact
+
+    sig2, err2 = NF.integrate(camel, 10, 20000)
+    assert abs(sig2 - exact) < max(6 * err2, 0.01 * exact)
+    # the trained flow must beat uniform sampling variance
+    assert NF.best_loss < NF.int_loss
+
+
+def test_training_reduces_variance():
+    NF = PWQuadManager(n_flow=2, seed=1)
+    NF.create_model(2, 6, [8] * 2)
+    opt = optimizers.adamax(5e-3)
+    NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=4000, epochs=80,
+        pretty_progressbar=False, mini_batch_size=2000, integrate=False,
+        preburn_time=0)
+    assert NF.best_loss < 0.5 * NF.int_loss
+
+
+def test_est_loss_mode_runs():
+    NF = PWQuadManager(n_flow=2, seed=2)
+    NF.create_model(2, 4, [4] * 2)
+    opt = optimizers.adamax(2e-3)
+    res = NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=1000, epochs=5,
+        pretty_progressbar=False, mini_batch_size=500, integrate=True,
+        preburn_time=0, loss_mode="est")
+    assert np.isfinite(res[0]) and np.isfinite(res[1])
+
+
+def test_unknown_loss_mode_returns_none():
+    NF = PWQuadManager(n_flow=2, seed=3)
+    NF.create_model(2, 4, [4] * 2)
+    opt = optimizers.adamax(2e-3)
+    assert NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=100, epochs=1,
+        mini_batch_size=100, loss_mode="nope") is None
+
+
+def test_minibatch_accumulation_matches_reference_arithmetic():
+    """batch 1000 / minibatch 300 -> 3 minibatches, batch rounded to 900
+    (reference manager.py:83-87): func-count bookkeeping reflects it."""
+    NF = PWQuadManager(n_flow=2, seed=4)
+    NF.create_model(2, 4, [4] * 2)
+    opt = optimizers.adamax(2e-3)
+    NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=1000, epochs=3,
+        pretty_progressbar=False, mini_batch_size=300, integrate=False,
+        preburn_time=0, kill_counter=100)
+    # initial 2*batch*n_flow plus 900 per epoch
+    assert NF.best_func_count == 2 * 900 * 2 + 3 * 900
+
+
+def test_integrate_without_training():
+    NF = PWQuadManager(n_flow=2, seed=5)
+    assert NF.best_params is None
+    assert NF.integrate(camel, 2, 100) == (0, 0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    NF = PWQuadManager(n_flow=2, seed=6)
+    NF.create_model(2, 4, [4] * 2)
+    opt = optimizers.adamax(2e-3)
+    NF._train_variance_forward_seq(
+        camel, opt, log=True, logdir=str(tmp_path), batch_size=500,
+        epochs=3, pretty_progressbar=False, mini_batch_size=500,
+        integrate=False, preburn_time=0)
+    ckpt = tmp_path / "checkpoint.msgpack"
+    assert ckpt.exists()
+
+    NF2 = PWQuadManager(n_flow=2, seed=7)
+    NF2.create_model(2, 4, [4] * 2)
+    meta = NF2.load_checkpoint(str(ckpt))
+    assert meta["best_loss"] == pytest.approx(float(NF.best_loss))
+    x1, j1 = NF.sample(64, key=jax.random.PRNGKey(0))
+    x2, j2 = NF2.sample(64, key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2))
+
+
+def test_pwlin_manager_trains():
+    def gauss4(x):
+        return jnp.exp(-jnp.sum((x - 0.5) ** 2, axis=-1) / 0.08)
+
+    NF = PWLinManager(n_flow=4, seed=8)
+    NF.create_model(2, 4, 8, [8] * 2, roll_step=1)
+    opt = optimizers.adamax(5e-3)
+    sig, err = NF._train_variance_forward_seq(
+        gauss4, opt, log=False, batch_size=2000, epochs=30,
+        pretty_progressbar=False, mini_batch_size=1000, integrate=True,
+        preburn_time=0)
+    # exact: (0.2*sqrt(2pi)*... ) -> per-dim \int exp(-(x-.5)^2/(2*0.04^... )
+    per_dim = 0.2 * math.sqrt(math.pi) * math.erf(0.5 / 0.2)
+    exact = per_dim ** 4
+    assert abs(sig - exact) < 6 * err + 0.05 * exact
+
+
+def test_affine_manager_runs():
+    NF = AffineManager(n_flow=2, seed=9)
+    NF.create_model(1, 2, [6], roll_step=1)
+    opt = optimizers.adamax(1e-3)
+    res = NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=500, epochs=3,
+        pretty_progressbar=False, mini_batch_size=500, integrate=False,
+        preburn_time=0)
+    assert res == (0, 0)
+    assert len(NF.history) >= 1
+
+
+def test_metrics_logger_protocol():
+    from nf_tpu.training.metrics import MemoryLogger
+
+    run = MemoryLogger()
+    NF = PWQuadManager(n_flow=2, seed=10)
+    NF.create_model(2, 4, [4] * 2)
+    opt = optimizers.adamax(2e-3)
+    NF._train_variance_forward_seq(
+        camel, opt, log=True, logdir=None, batch_size=500, epochs=3,
+        pretty_progressbar=False, mini_batch_size=500, integrate=True,
+        preburn_time=0, run=run)
+    assert "training.int_loss" in run.scalars
+    assert "training.loss" in run.scalars
+    assert "training.integ" in run.scalars
