@@ -84,6 +84,36 @@ def main():
     dt = time_sampler(xla_sample, jax.random.PRNGKey(0))
     xla_sps = n / dt
 
+    # ---- secondary benches: flagship masked flow + 2->4 phase space w/ cuts
+    flagship_sps = 0.0
+    try:
+        from nf_tpu.flows import factory
+        n_fl = 1 << 20
+        flow10, p10, s10 = factory.build_pwquad_flow(
+            jax.random.PRNGKey(7), 10, 8, 8, (16, 16), jnp.float32)
+        sampler10 = build_sampler(flow10, p10, s10)
+        js10 = jax.jit(lambda seed: sampler10(seed, n_fl))
+        flagship_sps = n_fl / time_sampler(js10, jnp.int32(3), reps=10)
+    except Exception as e:
+        print(f"# flagship sampler unavailable: {e}")
+
+    ps_sps = 0.0
+    try:
+        from nf_tpu.phasespace import FlatInvertiblePhasespace
+        gen = FlatInvertiblePhasespace([0.0, 0.0], [173.0, 4.7, 0.0, 80.4])
+        n_ps = 1 << 20
+
+        @jax.jit
+        def ps_run(key):
+            rv = jax.random.uniform(key, (n_ps, gen.nDimPhaseSpace()),
+                                    dtype=jnp.float32)
+            return gen.generateKinematics_batch(
+                1000.0, rv, pT_mincut=20.0, delR_mincut=0.4, rap_maxcut=2.4)
+
+        ps_sps = n_ps / time_sampler(ps_run, jax.random.PRNGKey(1), reps=10)
+    except Exception as e:
+        print(f"# phase-space bench unavailable: {e}")
+
     sps = max(pallas_sps, xla_sps)
     print(json.dumps({
         "metric": "camel2d_flow_samples_per_sec_per_chip",
@@ -93,6 +123,8 @@ def main():
         "extra": {
             "pallas_samples_per_sec": pallas_sps,
             "xla_samples_per_sec": xla_sps,
+            "flagship10d_pallas_samples_per_sec": flagship_sps,
+            "phase_space_2to4_events_per_sec": ps_sps,
             "camel2d_integral": sig,
             "camel2d_integral_err": sig_err,
             "camel2d_exact": exact,

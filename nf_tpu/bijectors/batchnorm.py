@@ -33,12 +33,24 @@ def init(n: int, dtype) -> tuple[dict, dict]:
     return params, state
 
 
-def apply(params, state, x, train: bool):
-    """Normalize ``x`` of shape ``[B, n]``; returns ``(y, new_state)``."""
+def apply(params, state, x, train: bool, axis_name=None):
+    """Normalize ``x`` of shape ``[B, n]``; returns ``(y, new_state)``.
+
+    Under ``shard_map`` pass ``axis_name`` to compute *global-batch*
+    statistics with ``pmean`` collectives over the device axis, so
+    data-parallel training matches single-device math exactly.
+    """
     if train:
+        import jax
+
         mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)  # biased, used for normalization
+        sq = jnp.mean(x * x, axis=0)
         n = x.shape[0]
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            sq = jax.lax.pmean(sq, axis_name)
+            n = n * jax.lax.psum(1, axis_name)
+        var = sq - mean * mean  # biased, used for normalization
         # torch tracks the unbiased variance in running_var
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

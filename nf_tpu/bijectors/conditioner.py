@@ -62,16 +62,19 @@ def init(key, in_size: int, sizes: tuple[int, ...], hidden_bias: bool, dtype):
     return params, state
 
 
-def apply(params, state, x, train: bool):
-    """Run the MLP on ``x`` [B, in_size] -> ([B, out_size], new_state)."""
+def apply(params, state, x, train: bool, axis_name=None):
+    """Run the MLP on ``x`` [B, in_size] -> ([B, out_size], new_state).
+
+    ``axis_name``: optional shard_map axis for global-batch BatchNorm.
+    """
     acc_t = jnp.float32 if x.dtype in (jnp.float32, jnp.bfloat16) else x.dtype
     new_state = {"bn_in": None, "bns": []}
-    h, new_state["bn_in"] = batchnorm.apply(params["bn_in"], state["bn_in"], x, train)
+    h, new_state["bn_in"] = batchnorm.apply(params["bn_in"], state["bn_in"], x, train, axis_name)
     for lin, bn_p, bn_s in zip(params["linears"], params["bns"], state["bns"]):
         h = jnp.dot(h, lin["w"], preferred_element_type=acc_t).astype(x.dtype)
         if "b" in lin:
             h = h + lin["b"]
-        h, s = batchnorm.apply(bn_p, bn_s, h, train)
+        h, s = batchnorm.apply(bn_p, bn_s, h, train, axis_name)
         new_state["bns"].append(s)
         h = jax.nn.relu(h)
     out = jnp.dot(h, params["final"]["w"], preferred_element_type=acc_t).astype(x.dtype)

@@ -28,7 +28,7 @@ from nf_tpu.bijectors import conditioner
 # Affine coupling (reference coupling_cells.py:6-70)
 # ---------------------------------------------------------------------------
 
-def affine_forward(params, state, x, jac, pass_through: int, train: bool):
+def affine_forward(params, state, x, jac, pass_through: int, train: bool, axis_name=None):
     """y_B = atan(x_B * 20*e^s + relu(t)) / (pi/2).
 
     Quirk replicated from the reference (coupling_cells.py:68): the 2/pi
@@ -39,7 +39,7 @@ def affine_forward(params, state, x, jac, pass_through: int, train: bool):
     xB = x[:, pass_through:]
     t = xB.shape[1]
 
-    z, new_state = conditioner.apply(params, state, xA, train)
+    z, new_state = conditioner.apply(params, state, xA, train, axis_name)
     z = z.reshape(z.shape[0], 2, t)
     s0 = jnp.exp(z[:, 0])
     s1 = jnp.maximum(z[:, 1], 0.0)
@@ -56,13 +56,13 @@ def affine_forward(params, state, x, jac, pass_through: int, train: bool):
 # Piecewise-linear coupling (reference coupling_cells.py:73-142)
 # ---------------------------------------------------------------------------
 
-def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool):
+def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool, axis_name=None):
     """PDF bin heights from the conditioner; piecewise-linear CDF transform."""
     xA = x[:, :pass_through]
     xB = x[:, pass_through:]
     t = xB.shape[1]
 
-    z, new_state = conditioner.apply(params, state, xA, train)
+    z, new_state = conditioner.apply(params, state, xA, train, axis_name)
     q = jnp.exp(z.reshape(z.shape[0], t, n_bins))
 
     qsum = jnp.cumsum(q, axis=-1)
@@ -136,7 +136,7 @@ def pwquad_compute(v_raw, w_raw, xB):
     return yB, jnp.prod(pdf_vals, axis=-1)
 
 
-def pwquad_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool):
+def pwquad_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool, axis_name=None):
     xA = x[:, :pass_through]
     xB = x[:, pass_through:]
     t = xB.shape[1]
@@ -144,10 +144,130 @@ def pwquad_forward(params, state, x, jac, pass_through: int, n_bins: int, train:
     # stability clamp, reference coupling_cells.py:167
     xB = jnp.minimum(xB, 1.0 - 1e-6)
 
-    z, new_state = conditioner.apply(params, state, xA, train)
+    z, new_state = conditioner.apply(params, state, xA, train, axis_name)
     z = z.reshape(z.shape[0], t, 2 * n_bins + 1)
     v_raw = z[:, :, : n_bins + 1]
     w_raw = z[:, :, n_bins + 1:]
 
     yB, factor = pwquad_compute(v_raw, w_raw, xB)
     return jnp.concatenate([xA, yB], axis=1), jac * factor, new_state
+
+
+# ---------------------------------------------------------------------------
+# Inverse transforms (x -> w).  The reference lists inversion as an
+# unimplemented TODO (reference README.md:69); these complete it.  All
+# inverses assume eval-mode conditioners (BatchNorm running stats) so the
+# map is a fixed bijection; pass-through dims condition both directions.
+# ---------------------------------------------------------------------------
+
+def affine_inverse(params, state, y, jac, pass_through: int, train: bool = False):
+    """Invert y_B = atan(x_B * 20 e^s + relu(t)) / (pi/2).
+
+    Returns (x, jac') where jac' multiplies in the inverse-map Jacobian
+    (reciprocal of the forward factor, including the replicated 2/pi quirk).
+    """
+    yA = y[:, :pass_through]
+    yB = y[:, pass_through:]
+
+    z, new_state = conditioner.apply(params, state, yA, train)
+    t = yB.shape[1]
+    z = z.reshape(z.shape[0], 2, t)
+    s0 = jnp.exp(z[:, 0])
+    s1 = jnp.maximum(z[:, 1], 0.0)
+
+    u = jnp.tan(yB * (math.pi / 2.0))
+    xB = (u - s1) / (20.0 * s0)
+    diff = 1.0 / (u * u + 1.0)
+    fwd_factor = jnp.prod(20.0 * s0, axis=1) * (1.0 / (math.pi / 2.0)) \
+        * jnp.prod(diff, axis=1)
+    return jnp.concatenate([yA, xB], axis=1), jac / fwd_factor, new_state
+
+
+def pwlin_inverse(params, state, y, jac, pass_through: int, n_bins: int,
+                  train: bool = False):
+    """Invert the piecewise-linear CDF: find the bin by CDF edge, then
+    linear solve."""
+    yA = y[:, :pass_through]
+    yB = y[:, pass_through:]
+    t = yB.shape[1]
+
+    z, new_state = conditioner.apply(params, state, yA, train)
+    q = jnp.exp(z.reshape(z.shape[0], t, n_bins))
+    qsum = jnp.cumsum(q, axis=-1)
+    qnorm = qsum[:, :, -1:]
+    q = q / (qnorm / n_bins)
+    qsum = qsum / qnorm
+    qsum2 = jnp.concatenate([jnp.zeros_like(qsum[:, :, :1]), qsum], axis=-1)
+
+    b = jnp.sum((qsum <= yB[:, :, None]).astype(jnp.int32), axis=-1)
+    b = jnp.minimum(b, n_bins - 1)[:, :, None]
+    cdf_lo = jnp.take_along_axis(qsum2, b, axis=-1)[:, :, 0]
+    q_b = jnp.take_along_axis(q, b, axis=-1)[:, :, 0]
+
+    alphas = (yB - cdf_lo) / q_b                    # in [0, 1/n_bins)
+    xB = (b[:, :, 0].astype(yB.dtype) + alphas * n_bins) / n_bins
+    jac = jac / jnp.prod(q_b, axis=-1)
+    return jnp.concatenate([yA, xB], axis=1), jac, new_state
+
+
+def pwquad_invert(v_raw, w_raw, yB):
+    """Invert the quadratic CDF given raw conditioner outputs.
+
+    Mirrors pwquad_compute: locate the bin via the CDF-at-edge prefix sums,
+    then solve the per-bin quadratic for alpha.  Returns (xB, fwd_factor)
+    with fwd_factor the forward-map Jacobian at the recovered point.
+    """
+    n_bins = w_raw.shape[-1]
+
+    w = jnp.exp(w_raw)
+    wsum = jnp.cumsum(w, axis=-1)
+    wnorm = wsum[:, :, -1:]
+    w = w / wnorm
+    wsum = wsum / wnorm
+
+    v = jnp.exp(v_raw)
+    vnorm_tot = jnp.sum((v[:, :, :-1] + v[:, :, 1:]) * 0.5 * w, axis=-1,
+                        keepdims=True)
+    v = v / vnorm_tot
+
+    vw_body = jnp.cumsum((v[:, :, :-1] + v[:, :, 1:]) * 0.5 * w, axis=-1)
+    vw = jnp.concatenate([jnp.zeros_like(w[:, :, :1]), vw_body], axis=-1)
+
+    # bin: number of CDF edges <= yB
+    b = jnp.sum((vw_body <= yB[:, :, None]).astype(jnp.int32), axis=-1)
+    b = jnp.minimum(b, n_bins - 1)[:, :, None]
+
+    wsum2 = jnp.concatenate([jnp.zeros_like(wsum[:, :, :1]), wsum], axis=-1)
+    w_b = jnp.take_along_axis(w, b, axis=-1)[:, :, 0]
+    edge_b = jnp.take_along_axis(wsum2, b, axis=-1)[:, :, 0]
+    vw_b = jnp.take_along_axis(vw, b, axis=-1)[:, :, 0]
+    v_lo = jnp.take_along_axis(v, b, axis=-1)[:, :, 0]
+    v_hi = jnp.take_along_axis(v, b + 1, axis=-1)[:, :, 0]
+
+    # solve 0.5 a (v_hi - v_lo) w alpha^2 + v_lo w alpha + vw_b = yB
+    c = (yB - vw_b) / w_b
+    dv = v_hi - v_lo
+    # numerically stable root: alpha = 2c / (v_lo + sqrt(v_lo^2 + 2 dv c))
+    disc = jnp.sqrt(jnp.maximum(v_lo * v_lo + 2.0 * dv * c, 0.0))
+    linear = c / jnp.where(v_lo == 0, 1.0, v_lo)
+    alphas = jnp.where(jnp.abs(dv) > 1e-12 * (v_lo + v_hi),
+                       2.0 * c / jnp.where(disc + v_lo == 0, 1.0, disc + v_lo),
+                       linear)
+    xB = edge_b + alphas * w_b
+    pdf_vals = v_lo + dv * alphas
+    return xB, jnp.prod(pdf_vals, axis=-1)
+
+
+def pwquad_inverse(params, state, y, jac, pass_through: int, n_bins: int,
+                   train: bool = False):
+    yA = y[:, :pass_through]
+    yB = y[:, pass_through:]
+    t = yB.shape[1]
+
+    z, new_state = conditioner.apply(params, state, yA, train)
+    z = z.reshape(z.shape[0], t, 2 * n_bins + 1)
+    v_raw = z[:, :, : n_bins + 1]
+    w_raw = z[:, :, n_bins + 1:]
+
+    xB, fwd_factor = pwquad_invert(v_raw, w_raw, yB)
+    return jnp.concatenate([yA, xB], axis=1), jac / fwd_factor, new_state

@@ -69,19 +69,23 @@ def init_cell(key, cfg: CellCfg, dtype):
     return conditioner.init(key, cfg.pass_through, cfg.nn_sizes, cfg.hidden_bias, dtype)
 
 
-def apply_cell(cfg: CellCfg, params, state, x, jac, train: bool):
+def apply_cell(cfg: CellCfg, params, state, x, jac, train: bool, axis_name=None):
     if cfg.kind == "affine":
-        return coupling.affine_forward(params, state, x, jac, cfg.pass_through, train)
+        return coupling.affine_forward(params, state, x, jac, cfg.pass_through,
+                                       train, axis_name)
     if cfg.kind == "pwlin":
-        return coupling.pwlin_forward(params, state, x, jac, cfg.pass_through, cfg.n_bins, train)
-    return coupling.pwquad_forward(params, state, x, jac, cfg.pass_through, cfg.n_bins, train)
+        return coupling.pwlin_forward(params, state, x, jac, cfg.pass_through,
+                                      cfg.n_bins, train, axis_name)
+    return coupling.pwquad_forward(params, state, x, jac, cfg.pass_through,
+                                   cfg.n_bins, train, axis_name)
 
 
-def forward(flow: Flow, params, state, w, train: bool):
+def forward(flow: Flow, params, state, w, train: bool, axis_name=None):
     """Map latent points ``w`` [B, n_flow] -> ``(x, jac, new_state)``.
 
     ``jac`` starts at 1 (the reference's AddJacobian, layers.py:66-77) and is
-    multiplied by each cell's factor.
+    multiplied by each cell's factor.  ``axis_name``: optional shard_map axis
+    for global-batch BatchNorm statistics (see bijectors.batchnorm.apply).
     """
     x = w
     jac = jnp.ones((w.shape[0],), dtype=w.dtype)
@@ -91,7 +95,7 @@ def forward(flow: Flow, params, state, w, train: bool):
         if tag == "cell":
             idx = op[1]
             cfg = flow.cells[idx]
-            x, jac, new_state[idx] = apply_cell(cfg, params[idx], state[idx], x, jac, train)
+            x, jac, new_state[idx] = apply_cell(cfg, params[idx], state[idx], x, jac, train, axis_name)
         elif tag == "roll":
             x = jnp.roll(x, op[1], axis=-1)
         elif tag == "gather":
@@ -103,3 +107,47 @@ def forward(flow: Flow, params, state, w, train: bool):
         else:
             raise ValueError(f"unknown op {tag!r}")
     return x, jac, tuple(new_state)
+
+
+def apply_cell_inverse(cfg: CellCfg, params, state, y, jac, train: bool = False):
+    if cfg.kind == "affine":
+        return coupling.affine_inverse(params, state, y, jac, cfg.pass_through, train)
+    if cfg.kind == "pwlin":
+        return coupling.pwlin_inverse(params, state, y, jac, cfg.pass_through,
+                                      cfg.n_bins, train)
+    return coupling.pwquad_inverse(params, state, y, jac, cfg.pass_through,
+                                   cfg.n_bins, train)
+
+
+def inverse(flow: Flow, params, state, x, train: bool = False):
+    """Map phase-space-side points ``x`` back to latent ``(w, jac_inv)``.
+
+    The inverse of :func:`forward`: ops run in reverse with rolls negated and
+    gather/scatter swapped.  ``jac_inv`` is the Jacobian of the inverse map
+    (reciprocal of the forward Jacobian at the recovered point).  Completes
+    the reference's unimplemented inversion TODO (reference README.md:69).
+    Eval-mode conditioners by default so the map is a fixed bijection.
+    """
+    y = x
+    jac = jnp.ones((x.shape[0],), dtype=x.dtype)
+    new_state = list(state)
+    for op in reversed(flow.ops):
+        tag = op[0]
+        if tag == "cell":
+            idx = op[1]
+            cfg = flow.cells[idx]
+            y, jac, new_state[idx] = apply_cell_inverse(
+                cfg, params[idx], state[idx], y, jac, train)
+        elif tag == "roll":
+            y = jnp.roll(y, -op[1], axis=-1)
+        elif tag == "gather":
+            # undo the gather: scatter back
+            inv_perm = np.empty(len(op[1]), dtype=np.int64)
+            inv_perm[np.asarray(op[1])] = np.arange(len(op[1]))
+            y = y[:, inv_perm]
+        elif tag == "scatter":
+            # undo the scatter: gather
+            y = y[:, np.asarray(op[1])]
+        else:
+            raise ValueError(f"unknown op {tag!r}")
+    return y, jac, tuple(new_state)

@@ -247,17 +247,30 @@ class BasicManager(ModelAPI):
         t_start = _time.time()
         i = epoch_start - 1  # in case epochs == 0
 
-        for i in range(epoch_start, epoch_start + epochs):
+        epoch_iter = range(epoch_start, epoch_start + epochs)
+        if pretty_progressbar:
+            try:
+                from tqdm.auto import tqdm
+                epoch_iter = tqdm(epoch_iter, leave=False,
+                                  desc="Loss: {0:.3e} | Epoch".format(0.0))
+            except ImportError:
+                pretty_progressbar = False
+
+        for i in epoch_iter:
             step = epoch_step_preburn if preburner else epoch_step_normal
             params, bn_state, opt_state, loss_d, var_d, integ_e, err_e = step(
                 params, bn_state, opt_state, self._next_key())
             loss = float(loss_d)
-            integ[i + 1] += float(integ_e)
-            err[i + 1] += float(err_e)
+            # epoch accumulators are indexed relative to epoch_start (the
+            # reference would index out of bounds for epoch_start > 0)
+            integ[i - epoch_start + 1] += float(integ_e)
+            err[i - epoch_start + 1] += float(err_e)
 
             if save_best or log:
                 self.history.append(loss)
                 self.best_func_count += batch_size
+            if pretty_progressbar:
+                epoch_iter.set_description("Loss: {0:.3e} | Epoch".format(loss))
             if run is not None and log:
                 run.log_scalar("training.loss", loss, i)
                 run.log_scalar("training.loss_rel", loss / self.int_loss, i)
@@ -296,7 +309,7 @@ class BasicManager(ModelAPI):
         # ---- PHASE C: tail integration with the best model in eval mode
         # (reference manager.py:332-346; note the reference's asymmetric
         # integ/sqrt(mini_batch) + std scaling, replicated exactly)
-        endpoint = i + 1
+        endpoint = i - epoch_start + 1  # relative epoch count actually run
         if integrate and endpoint < epochs - 1:
             b_params, b_bn = self.best_params
             self.best_eval_mode = True  # reference flips best_model to eval

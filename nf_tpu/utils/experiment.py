@@ -46,7 +46,7 @@ def pro(para):
     log = para["log"]
     seed = para.get("seed", 0)
 
-    start_time = datetime.datetime.utcnow()
+    start_time = datetime.datetime.now(datetime.timezone.utc)
     os.makedirs(logdir, exist_ok=True)
     file = open(os.path.join(logdir, "log.txt"), "w+")
     file.write("Started \n")
@@ -68,7 +68,7 @@ def pro(para):
         integrate=True, mini_batch_size=batch_size, preburn_time=pt)
 
     file.write("End training \n")
-    end_time = datetime.datetime.utcnow()
+    end_time = datetime.datetime.now(datetime.timezone.utc)
     file.write("{0:5E}  +/- {1:3E}  \n".format(sig, sig_err))
     sig = sig / GEV2_TO_PB
     sig_err = sig_err / GEV2_TO_PB
@@ -123,7 +123,7 @@ def prov(para):
     os.makedirs(logdir, exist_ok=True)
     fh = open(os.path.join(logdir, "log.txt"), "w+")
     fh.write(f"{nitn} iterations with {neval} evaluations \n")
-    start_time = datetime.datetime.utcnow()
+    start_time = datetime.datetime.now(datetime.timezone.utc)
 
     integ = VegasIntegrator(n_flow, n_bins=50, seed=seed)
     result_mean, result_sdev = integ.run(f, nitn=nitn, neval=neval)
@@ -142,7 +142,7 @@ def prov(para):
     fh.write("{0:5E}  +/- {1:3E} pb \n".format(sig, sig_err))
     fh.write("Final Variance: " + str(v_var) + "\n")
     fh.write("Unweighting efficiency: " + str(w_mean / w_max) + "\n")
-    end_time = datetime.datetime.utcnow()
+    end_time = datetime.datetime.now(datetime.timezone.utc)
     fh.write("Duration: \n")
     fh.write(str((end_time - start_time).total_seconds()) + "\n")
     fh.write("-----\n")

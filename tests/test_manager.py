@@ -128,8 +128,8 @@ def test_pwlin_manager_trains():
         gauss4, opt, log=False, batch_size=2000, epochs=30,
         pretty_progressbar=False, mini_batch_size=1000, integrate=True,
         preburn_time=0)
-    # exact: (0.2*sqrt(2pi)*... ) -> per-dim \int exp(-(x-.5)^2/(2*0.04^... )
-    per_dim = 0.2 * math.sqrt(math.pi) * math.erf(0.5 / 0.2)
+    # per-dim integral of exp(-(x-0.5)^2/a) over [0,1], a = 0.08
+    per_dim = math.sqrt(0.08 * math.pi) * math.erf(0.5 / math.sqrt(0.08))
     exact = per_dim ** 4
     assert abs(sig - exact) < 6 * err + 0.05 * exact
 

@@ -1,0 +1,121 @@
+"""Tests for the jax-native VEGAS baseline, the experiment harness workers,
+and the PDF classes."""
+
+import math
+import queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nf_tpu.training.vegas import VegasIntegrator
+from nf_tpu.phasespace.pdf import ToyPDF, GridPDF, CallbackPDF
+
+
+def gauss2(x):
+    return jnp.exp(-jnp.sum((x - 0.5) ** 2, axis=-1) / 0.02)
+
+
+def gauss2_exact():
+    # integral of exp(-(x-0.5)^2/a) over [0,1] = sqrt(a*pi)*erf(0.5/sqrt(a))
+    a = 0.02
+    per_dim = math.sqrt(a * math.pi) * math.erf(0.5 / math.sqrt(a))
+    return per_dim ** 2
+
+
+def test_vegas_converges_on_gaussian():
+    integ = VegasIntegrator(2, n_bins=40, seed=0)
+    mean, sdev = integ.run(gauss2, nitn=12, neval=8000)
+    exact = gauss2_exact()
+    assert abs(mean - exact) < max(5 * sdev, 0.02 * exact)
+    # the adapted map concentrates samples: importance-weighted variance
+    # must beat uniform sampling variance
+    x, jac = integ.sample(20000)
+    fw = np.asarray(gauss2(x) * jac)
+    key = jax.random.PRNGKey(1)
+    u = jax.random.uniform(key, (20000, 2), dtype=x.dtype)
+    fu = np.asarray(gauss2(u))
+    assert fw.var() < fu.var()
+
+
+def test_vegas_map_jacobian_is_unit_mean():
+    integ = VegasIntegrator(3, n_bins=20, seed=1)
+    integ.run(lambda x: jnp.ones(x.shape[0]), nitn=3, neval=2000)
+    x, jac = integ.sample(50000)
+    assert np.all((np.asarray(x) >= 0) & (np.asarray(x) <= 1))
+    np.testing.assert_allclose(float(np.mean(np.asarray(jac))), 1.0, rtol=0.05)
+
+
+def test_pro_worker_end_to_end(tmp_path):
+    from nf_tpu.utils.experiment import pro
+
+    q = queue.Queue()
+    para = {
+        "n_flow": 2, "n_bins": 4, "NN_width": 4, "NN_length": 2,
+        "dev": 0, "lr": 2e-3, "weight_decay": 1e-4, "var_n": 2000,
+        "batch_size": 500, "pt": 0, "q": q, "id": 7, "f": gauss2,
+        "logdir": str(tmp_path), "log": False, "seed": 0,
+    }
+    import nf_tpu.utils.experiment as exp
+    old = exp.EPOCH_LENGTH
+    exp.EPOCH_LENGTH = 10  # keep the test fast
+    try:
+        pro(para)
+    finally:
+        exp.EPOCH_LENGTH = old
+    result = q.get_nowait()
+    assert result[8] == "NIS"
+    assert result[10] == 7          # internal id
+    assert np.isfinite(result[11])  # sigma (in "pb")
+    assert (tmp_path / "7" / "log.txt").exists()
+
+
+def test_prov_worker_end_to_end(tmp_path):
+    from nf_tpu.utils import experiment as exp
+
+    q = queue.Queue()
+    para = {
+        "n_flow": 2, "n_bins": 4, "NN_width": 4, "NN_length": 2,
+        "dev": 0, "lr": 2e-3, "weight_decay": 1e-4, "var_n": 2000,
+        "batch_size": 500, "pt": 0, "q": q, "id": 3, "f": gauss2,
+        "logdir": str(tmp_path), "log": False, "seed": 0,
+    }
+    exp.prov(para)
+    result = q.get_nowait()
+    assert result[8] == "VEGAS"
+    sig_pb = result[11]
+    exact_pb = gauss2_exact() / exp.GEV2_TO_PB
+    assert abs(sig_pb - exact_pb) < 0.05 * exact_pb
+
+
+def test_grid_pdf_matches_tabulated_function():
+    toy = ToyPDF()
+    xs = np.geomspace(1e-5, 1 - 1e-6, 200)
+    q2s = np.geomspace(1.0, 1e6, 16)
+    grids = {}
+    for pdg in (21, 2):
+        g = np.empty((200, 16))
+        for i, x in enumerate(xs):
+            g[i, :] = float(toy.xfxQ2(pdg, jnp.asarray(x), 1.0))
+        grids[pdg] = g
+    gpdf = GridPDF(xs, q2s, grids)
+    x_test = jnp.asarray(np.geomspace(1e-4, 0.9, 64))
+    q2_test = jnp.full((64,), 8315.0)
+    got = np.asarray(gpdf.xfxQ2(21, x_test, q2_test))
+    want = np.asarray(toy.xfxQ2(21, x_test, q2_test))
+    np.testing.assert_allclose(got, want, rtol=0.02, atol=1e-3)
+
+
+def test_callback_pdf_works_under_jit():
+    class HostPDF:
+        def xfxQ2(self, pdg, x, q2):
+            return 2.0 * x
+    cpdf = CallbackPDF(HostPDF())
+
+    @jax.jit
+    def run(x):
+        return cpdf.xfxQ2(2, x, jnp.full(x.shape, 100.0))
+
+    x = jnp.asarray([0.1, 0.2, 0.5])
+    np.testing.assert_allclose(np.asarray(run(x)), [0.2, 0.4, 1.0], rtol=1e-6)
