@@ -9,6 +9,9 @@ Prints ONE JSON line.
 """
 
 import json
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import math
 import time
 

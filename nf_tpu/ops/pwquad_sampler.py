@@ -1,4 +1,4 @@
-"""Fused Pallas TPU sampling kernel for PWQuad flows.
+"""Fused Pallas TPU sampling kernel for PWQuad / PWLin flows.
 
 Production unweighting/integration draws billions of samples from a *trained*
 flow; that path is the throughput headline (BASELINE.md north star: >=1e7
@@ -165,6 +165,36 @@ def _pwquad_dim(z_v, z_w, xB):
     return yB, pdf
 
 
+def _pwlin_dim(z_q, xB):
+    """One piecewise-LINEAR transformed dimension (reference
+    coupling_cells.py:107-142): list of n_bins [SUB,LANE] logits -> (yB, pdf)."""
+    n_bins = len(z_q)
+    q = [jnp.exp(z) for z in z_q]
+    qtot = q[0]
+    for k in range(1, n_bins):
+        qtot = qtot + q[k]
+    inv = 1.0 / qtot
+    pdf = [qk * inv * n_bins for qk in q]       # mean-n_bins normalization
+
+    t = xB * n_bins
+    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    cdf_lo = zero
+    pdf_b = zero
+    base_b = zero
+    cdf = zero
+    for k in range(n_bins):
+        upper = jnp.full((SUB, LANE), float(k + 1), jnp.float32) \
+            if k < n_bins - 1 else jnp.full((SUB, LANE), 2.0 * n_bins, jnp.float32)
+        m = jnp.logical_and(t >= float(k), t < upper).astype(jnp.float32)
+        pdf_b = pdf_b + m * pdf[k]
+        cdf_lo = cdf_lo + m * cdf
+        base_b = base_b + m * float(k)
+        cdf = cdf + pdf[k] / n_bins
+    alpha = (t - base_b) / n_bins
+    yB = pdf_b * alpha + cdf_lo
+    return yB, pdf_b
+
+
 def _uniform_from_bits(bits):
     """uint32 random bits -> f32 uniforms in [0, 1)."""
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
@@ -182,8 +212,8 @@ def build_sampler(flow, params, state, interpret: bool = False):
     return.  Raises ValueError for non-PWQuad cells.
     """
     for c in flow.cells:
-        if c.kind != "pwquad":
-            raise ValueError("fused sampler supports PWQuad flows only")
+        if c.kind not in ("pwquad", "pwlin"):
+            raise ValueError("fused sampler supports PWQuad/PWLin flows only")
 
     folded = fold_eval_params(flow, params, state)
     n_flow = flow.n_flow
@@ -197,7 +227,7 @@ def build_sampler(flow, params, state, interpret: bool = False):
         for w, b in layers:
             flat_weights.append(np.ascontiguousarray(w))
             flat_weights.append(np.ascontiguousarray(b))
-        cell_meta.append((cfg.pass_through, cfg.n_bins, sizes, start))
+        cell_meta.append((cfg.kind, cfg.pass_through, cfg.n_bins, sizes, start))
 
     ops = flow.ops
 
@@ -224,17 +254,22 @@ def build_sampler(flow, params, state, interpret: bool = False):
                     inv[p] = pos
                 xs = [xs[i] for i in inv]
             elif tag == "cell":
-                pass_through, n_bins, sizes, start = cell_meta[op[1]]
+                kind, pass_through, n_bins, sizes, start = cell_meta[op[1]]
                 t = n_flow - pass_through
                 wrefs = weight_refs[start:start + 2 * len(sizes)]
                 z = _mlp(xs[:pass_through], wrefs, sizes)
-                width = 2 * n_bins + 1
+                width = (2 * n_bins + 1) if kind == "pwquad" else n_bins
                 new_tail = []
                 for ti in range(t):
-                    xB = jnp.minimum(xs[pass_through + ti], 1.0 - 1e-6)
-                    z_v = z[ti * width: ti * width + n_bins + 1]
-                    z_w = z[ti * width + n_bins + 1: (ti + 1) * width]
-                    yB, pdf = _pwquad_dim(z_v, z_w, xB)
+                    if kind == "pwquad":
+                        xB = jnp.minimum(xs[pass_through + ti], 1.0 - 1e-6)
+                        z_v = z[ti * width: ti * width + n_bins + 1]
+                        z_w = z[ti * width + n_bins + 1: (ti + 1) * width]
+                        yB, pdf = _pwquad_dim(z_v, z_w, xB)
+                    else:
+                        xB = xs[pass_through + ti]
+                        z_q = z[ti * width: (ti + 1) * width]
+                        yB, pdf = _pwlin_dim(z_q, xB)
                     new_tail.append(yB)
                     jac = jac * pdf
                 xs = xs[:pass_through] + new_tail

@@ -310,3 +310,71 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         weight = weight * factor
         shat = xb_1 * xb_2 * collider_energy ** 2
         return momenta_com, weight / (2.0 * shat)
+
+    # -- the inverse map ------------------------------------------------------
+
+    def invertKinematics_batch(self, E_cm, momenta, xb_1=None, xb_2=None):
+        """Recover the latent random variables from COM-frame kinematics.
+
+        Inverse of :meth:`generateKinematics_batch` (the reference lists
+        phase-space inversion as an unimplemented TODO, reference
+        README.md:69).  ``momenta`` is ``[B, n_initial+n_final, 4]`` in the
+        COM frame (what the forward map returns).  When ``pdf_active`` the
+        Bjorken fractions must be supplied (they are not recoverable from
+        COM-frame momenta alone) and the trailing two latent columns are
+        reconstructed from them.  Returns ``rv_full`` with the same layout
+        the forward map consumes.
+        """
+        fin = momenta[:, self.n_initial:, :]
+        dtype = momenta.dtype
+        B = momenta.shape[0]
+        masses = self.masses.astype(dtype)
+        nf = self.n_final
+
+        # intermediate masses from the decay-chain remainders
+        Qs = [jnp.sum(fin[:, i:, :], axis=1) for i in range(nf - 1)]
+        M = jnp.stack([jnp.sqrt(jnp.maximum(lorentz.square(Q), 0.0))
+                       for Q in Qs], axis=1)          # [B, nf-1]
+
+        # mass variables: invert K_i = sqrt(u_{i-1}) K_{i-1}
+        masses_sum = jnp.cumsum(masses[::-1])[::-1]
+        K = M - masses_sum[: nf - 1][None, :]
+        rv_mass = []
+        for i in range(nf - 2):
+            u = (K[:, i + 1] / K[:, i]) ** 2
+            exp = float(nf - 2 - i)
+            rv_mass.append(self.massless_map(u, exp))
+
+        # angles: boost each final into its parent's rest frame
+        rv_ang = []
+        for i in range(nf - 1):
+            beta = lorentz.boost_vector(Qs[i])
+            p_star = lorentz.boost(fin[:, i, :], -beta)
+            p_mag = jnp.sqrt(jnp.sum(p_star[:, 1:] ** 2, axis=-1))
+            cos_t = jnp.clip(p_star[:, 3] / p_mag, -1.0, 1.0)
+            phia = jnp.arctan2(p_star[:, 2], p_star[:, 1])
+            phia = jnp.where(phia < 0, phia + 2.0 * math.pi, phia)
+            rv_ang.append((cos_t + 1.0) / 2.0)
+            rv_ang.append(phia / (2.0 * math.pi))
+
+        rv = jnp.stack(rv_mass + rv_ang, axis=1) if (rv_mass or rv_ang) \
+            else jnp.zeros((B, 0), dtype)
+
+        if not self.pdf_active:
+            return rv
+
+        if xb_1 is None or xb_2 is None:
+            raise PhaseSpaceGeneratorError(
+                "invertKinematics_batch with pdf_active requires xb_1 and xb_2")
+        if self.tau:
+            tot_mass = float(np.sum(np.asarray(self.final_masses)))
+            tau_min = (max(tot_mass, self.absolute_Ecm_min) / E_cm) ** 2
+            tau = xb_1 * xb_2
+            r_tau = (tau - tau_min) / (1.0 - tau_min)
+            ycm = 0.5 * jnp.log(xb_1 / xb_2)
+            ycm_min = 0.5 * jnp.log(tau)
+            r_ycm = (ycm - ycm_min) / (-2.0 * ycm_min)
+            extra = jnp.stack([r_tau, r_ycm], axis=1)
+        else:
+            extra = jnp.stack([xb_2, xb_1], axis=1)
+        return jnp.concatenate([rv, extra], axis=1)

@@ -106,3 +106,19 @@ def delta_r(p1, p2):
     deta = pseudo_rapidity(p1) - pseudo_rapidity(p2)
     dphi = delta_phi(p1, p2)
     return jnp.sqrt(deta ** 2 + dphi ** 2)
+
+
+def cos_theta(p):
+    """Polar-angle cosine pz/|p| of [..., 4] vectors (utils.py:108-112)."""
+    ptot = jnp.sqrt(jnp.sum(p[..., 1:] ** 2, axis=-1))
+    return p[..., 3] / ptot
+
+
+def phi(p):
+    """Azimuthal angle atan2(py, px) (utils.py:118-120)."""
+    return jnp.arctan2(p[..., 2], p[..., 1])
+
+
+def spatial_dot(a, b):
+    """Euclidean dot product of the spatial parts (utils.py:50-56)."""
+    return jnp.sum(a[..., 1:4] * b[..., 1:4], axis=-1)

@@ -84,14 +84,21 @@ class BasicManager(ModelAPI):
         return jax.lax.with_sharding_constraint(
             w, NamedSharding(self._mesh, P("dp")))
 
-    def sample(self, n, key=None, params=None, train=True):
-        """Draw ``n`` latent points and map them: returns ``(x, jac)``."""
+    def sample(self, n, key=None, params=None, train=None):
+        """Draw ``n`` latent points and map them: returns ``(x, jac)``.
+
+        ``train=None`` follows the reference best-model mode: batch-stats
+        BatchNorm unless a tail-integration phase flipped the best model to
+        eval (reference manager.py:335,397).
+        """
         if key is None:
             key = self._next_key()
         if params is None:
             params, bn_state = self.best_params
         else:
             params, bn_state = params
+        if train is None:
+            train = not self.best_eval_mode
         w = _uniform(key, (n, self.n_flow), self.dtype)
         x, jac, _ = fmodel.forward(self._flow, params, bn_state, w, train)
         return x, jac
@@ -103,7 +110,8 @@ class BasicManager(ModelAPI):
                                     pretty_progressbar=True, save_best=True, run=None,
                                     dev=0, mini_batch_size=2000, integrate=False,
                                     preburn_time=75, kill_counter=7, impr_ratio=1e-2,
-                                    loss_mode="var", seed=None, mesh=None):
+                                    loss_mode="var", seed=None, mesh=None,
+                                    pathwise=False):
         """Train with the integrand variance as loss; Jacobian from the forward
         pass (fixed latent sample, gradient through the Jacobian only).
 
@@ -113,6 +121,13 @@ class BasicManager(ModelAPI):
         ``dev`` is accepted for reference-API compatibility and ignored
         (device placement is jax's job).  ``mesh`` enables data parallelism
         over its 'dp' axis.
+
+        ``pathwise=False`` reproduces the reference's forward-variance
+        scheme: the mapped sample is detached and the gradient flows through
+        the Jacobian only (reference manager.py:234).  ``pathwise=True``
+        additionally differentiates through ``f(x)`` (requires a
+        differentiable integrand) — a strictly richer gradient that the
+        reference cannot compute, markedly better on narrow/peaked targets.
         """
         del dev
         if loss_mode not in ("var", "est"):
@@ -205,7 +220,7 @@ class BasicManager(ModelAPI):
                             integ_inc = jnp.mean(fres)
                             err_inc = _var(fres)
                         else:
-                            x_fixed = jax.lax.stop_gradient(x)
+                            x_fixed = x if pathwise else jax.lax.stop_gradient(x)
                             fres = f(x_fixed) * jacv
                             fXJ = fres / maxf
                             integ_inc = jnp.mean(jax.lax.stop_gradient(fres))

@@ -1,0 +1,90 @@
+"""Unweighted event generation from a trained flow.
+
+The reference only *measures* unweighting efficiency (w_mean/w_max,
+reference experiment_mg.py:101); this module performs the actual
+accept-reject unweighting, the production endpoint of neural importance
+sampling for event generation.
+
+Fully jittable: a fixed-size proposal batch is drawn through the flow, the
+weights w = f(x)*jac are compared against ``w_max * u``, and accepted events
+are compacted.  Over-weight events (w > w_max) are retained with weight
+clipping and counted, matching standard practice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nf_tpu.flows import model as fmodel
+
+
+def estimate_wmax(flow, params, state, f, key, n=100_000, train=False,
+                  safety=1.0, quantile=1.0):
+    """Estimate the reference maximum weight over ``n`` fresh samples.
+
+    ``quantile < 1`` uses that weight quantile instead of the strict max —
+    standard practice for heavy-tailed weight distributions, where a single
+    spike would crater the acceptance rate; the few over-weight events are
+    kept and counted by the unweighter.
+    """
+    w = jax.random.uniform(key, (n, flow.n_flow))
+    x, jacv, _ = fmodel.forward(flow, params, state, w, train)
+    weights = f(x) * jacv
+    if quantile >= 1.0:
+        ref = jnp.max(weights)
+    else:
+        ref = jnp.quantile(weights, quantile)
+    return float(ref) * safety
+
+
+def unweighted_batch(flow, params, state, f, key, n_proposals, w_max,
+                     train=False):
+    """One accept-reject pass.
+
+    Returns ``(x, accept_mask, n_overweight)``: proposals ``x``
+    [n_proposals, n_flow], a boolean acceptance mask, and the count of
+    over-weight events (accepted unconditionally; increase ``w_max`` if
+    this is a meaningful fraction).
+    """
+    k_w, k_u = jax.random.split(key)
+    w = jax.random.uniform(k_w, (n_proposals, flow.n_flow))
+    x, jacv, _ = fmodel.forward(flow, params, state, w, train)
+    weights = f(x) * jacv
+    u = jax.random.uniform(k_u, (n_proposals,))
+    accept = weights > u * w_max
+    return x, accept, jnp.sum(weights > w_max)
+
+
+def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
+                        train=False, batch=1 << 17, max_batches=1000,
+                        wmax_quantile=1.0):
+    """Generate at least ``n_events`` unweighted events (host-driven loop).
+
+    Returns ``(events [>=n_events, n_flow], efficiency, n_overweight)``.
+    Stops after ``max_batches`` proposal batches even if short.
+    """
+    import numpy as np
+
+    if w_max is None:
+        key, sub = jax.random.split(key)
+        w_max = estimate_wmax(flow, params, state, f, sub, safety=1.05,
+                              quantile=wmax_quantile)
+
+    step = jax.jit(partial(unweighted_batch, flow, params, state, f,
+                           n_proposals=batch, w_max=w_max, train=train))
+    out, n_acc, n_prop, n_over = [], 0, 0, 0
+    for _ in range(max_batches):
+        key, sub = jax.random.split(key)
+        x, accept, over = step(sub)
+        acc_np = np.asarray(accept)
+        out.append(np.asarray(x)[acc_np])
+        n_acc += int(acc_np.sum())
+        n_prop += batch
+        n_over += int(over)
+        if n_acc >= n_events:
+            break
+    events = np.concatenate(out, axis=0)
+    return events, n_acc / max(n_prop, 1), n_over

@@ -67,6 +67,21 @@ def test_est_loss_mode_runs():
     assert np.isfinite(res[0]) and np.isfinite(res[1])
 
 
+def test_pathwise_gradients_train():
+    """pathwise=True differentiates through f(x) as well as the Jacobian
+    (beyond the reference, which always detaches the sample)."""
+    NF = PWQuadManager(n_flow=2, seed=11)
+    NF.create_model(2, 6, [8] * 2)
+    opt = optimizers.adamax(5e-3)
+    sig, err = NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=4000, epochs=40,
+        pretty_progressbar=False, mini_batch_size=2000, integrate=True,
+        preburn_time=0, pathwise=True)
+    assert NF.best_loss < NF.int_loss
+    exact = camel_exact()
+    assert abs(sig - exact) < 6 * err + 0.05 * exact
+
+
 def test_unknown_loss_mode_returns_none():
     NF = PWQuadManager(n_flow=2, seed=3)
     NF.create_model(2, 4, [4] * 2)

@@ -85,3 +85,23 @@ def test_pallas_sampler_statistics(small_flow):
                                rtol=0.05)
     np.testing.assert_allclose(x_np.mean(0), np.asarray(jnp.mean(x_ref, 0)),
                                atol=0.02)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="pallas TPU kernel: interpret-mode PRNG not "
+                           "available on CPU backend")
+def test_pallas_pwlin_sampler_statistics():
+    flow, params, state = factory.build_pwlin_flow(
+        jax.random.PRNGKey(4), 3, 1, 3, 8, (8, 8), 1, jnp.float32)
+    sampler = pwquad_sampler.build_sampler(flow, params, state)
+    n = 1 << 15
+    x, jac = sampler(2, n)
+    x_np, jac_np = np.asarray(x), np.asarray(jac)
+    assert np.all((x_np >= 0) & (x_np <= 1))
+    assert np.all(jac_np > 0)
+    w = jax.random.uniform(jax.random.PRNGKey(5), (n, 3), dtype=jnp.float32)
+    x_ref, jac_ref, _ = fmodel.forward(flow, params, state, w, False)
+    np.testing.assert_allclose(jac_np.mean(), float(jnp.mean(jac_ref)),
+                               rtol=0.05)
+    np.testing.assert_allclose(x_np.mean(0), np.asarray(jnp.mean(x_ref, 0)),
+                               atol=0.02)
