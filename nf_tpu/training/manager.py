@@ -111,7 +111,7 @@ class BasicManager(ModelAPI):
                                     dev=0, mini_batch_size=2000, integrate=False,
                                     preburn_time=75, kill_counter=7, impr_ratio=1e-2,
                                     loss_mode="var", seed=None, mesh=None,
-                                    pathwise=False):
+                                    pathwise=False, epochs_per_sync=1):
         """Train with the integrand variance as loss; Jacobian from the forward
         pass (fixed latent sample, gradient through the Jacobian only).
 
@@ -128,6 +128,15 @@ class BasicManager(ModelAPI):
         additionally differentiates through ``f(x)`` (requires a
         differentiable integrand) — a strictly richer gradient that the
         reference cannot compute, markedly better on narrow/peaked targets.
+
+        ``epochs_per_sync > 1`` fuses that many epochs into one jit-compiled
+        ``lax.scan`` step (best-model tracking stays per-epoch exact inside
+        the device step), cutting host/device round-trips by that factor.
+        Early stopping is then evaluated at chunk granularity: a mid-chunk
+        stop condition still takes effect, but up to ``epochs_per_sync - 1``
+        extra optimizer steps will already have run, and a best-model
+        snapshot may come from one of those extra epochs.  The default of 1
+        follows the reference's per-epoch cadence exactly.
         """
         del dev
         if loss_mode not in ("var", "est"):
@@ -204,8 +213,7 @@ class BasicManager(ModelAPI):
         # ---- jitted epoch step (reference manager.py:212-280)
         optimizer = optimizer_object
 
-        def make_epoch_step(preburn: bool):
-            @jax.jit
+        def make_epoch_body(preburn: bool):
             def epoch_step(params, bn_state, opt_state, key):
                 def minibatch(bn_carry, k):
                     w = self._shard_batch(_uniform(k, (mini_batch_size, n_flow), dtype))
@@ -246,8 +254,31 @@ class BasicManager(ModelAPI):
                         jnp.sum(vis), jnp.mean(iis), jnp.mean(eis))
             return epoch_step
 
-        epoch_step_preburn = make_epoch_step(True)
-        epoch_step_normal = make_epoch_step(False)
+        epoch_body_preburn = make_epoch_body(True)
+        epoch_body_normal = make_epoch_body(False)
+        epoch_step_preburn = jax.jit(epoch_body_preburn)
+        epoch_step_normal = jax.jit(epoch_body_normal)
+
+        # chunked multi-epoch step: scan epochs_per_sync epochs in one jit
+        # call, tracking the in-chunk best (params, bn) per epoch on device
+        @partial(jax.jit, static_argnames=("k",))
+        def chunk_step(params, bn_state, opt_state, best_loss_d, best_pb, key, k):
+            def body(carry, ek):
+                params, bn, opt, b_loss, b_pb, b_var = carry
+                params, bn, opt, loss, var, ii, ei = epoch_body_normal(
+                    params, bn, opt, ek)
+                improved = loss < b_loss
+                b_loss = jnp.where(improved, loss, b_loss)
+                b_var = jnp.where(improved, var, b_var)
+                b_pb = jax.tree.map(
+                    lambda old, new: jnp.where(improved, new, old),
+                    b_pb, (params, bn))
+                return (params, bn, opt, b_loss, b_pb, b_var), (loss, var, ii, ei)
+            keys = jax.random.split(key, k)
+            init = (params, bn_state, opt_state, best_loss_d, best_pb,
+                    jnp.zeros((), dtype))
+            carry, outs = jax.lax.scan(body, init, keys)
+            return carry, outs
 
         params, bn_state = self._params, self._bn_state
         opt_state = optimizer.init(params)
@@ -262,63 +293,106 @@ class BasicManager(ModelAPI):
         t_start = _time.time()
         i = epoch_start - 1  # in case epochs == 0
 
-        epoch_iter = range(epoch_start, epoch_start + epochs)
+        pbar = None
         if pretty_progressbar:
             try:
                 from tqdm.auto import tqdm
-                epoch_iter = tqdm(epoch_iter, leave=False,
-                                  desc="Loss: {0:.3e} | Epoch".format(0.0))
+                pbar = tqdm(total=epochs, leave=False,
+                            desc="Loss: {0:.3e} | Epoch".format(0.0))
             except ImportError:
-                pretty_progressbar = False
+                pass
 
-        for i in epoch_iter:
-            step = epoch_step_preburn if preburner else epoch_step_normal
-            params, bn_state, opt_state, loss_d, var_d, integ_e, err_e = step(
-                params, bn_state, opt_state, self._next_key())
-            loss = float(loss_d)
-            # epoch accumulators are indexed relative to epoch_start (the
-            # reference would index out of bounds for epoch_start > 0)
-            integ[i - epoch_start + 1] += float(integ_e)
-            err[i - epoch_start + 1] += float(err_e)
+        epochs_end = epoch_start + epochs
+        stop = False
+        # mutable cell for the state-machine locals shared with the closure
+        sm = {"stale_save": stale_save, "preburner": preburner,
+              "counter": counter, "last_loss": last_loss}
 
+        def process_epoch(i, loss, var_val, integ_e, err_e, snapshot):
+            """Host state machine for one finished epoch (reference
+            manager.py:282-327).  ``snapshot()`` returns the post-update
+            (params, bn_state) to store on improvement.  Returns True to
+            stop training."""
+            integ[i - epoch_start + 1] += integ_e
+            err[i - epoch_start + 1] += err_e
             if save_best or log:
                 self.history.append(loss)
                 self.best_func_count += batch_size
-            if pretty_progressbar:
-                epoch_iter.set_description("Loss: {0:.3e} | Epoch".format(loss))
+            if pbar is not None:
+                pbar.set_description("Loss: {0:.3e} | Epoch".format(loss))
+                pbar.update(1)
             if run is not None and log:
                 run.log_scalar("training.loss", loss, i)
                 run.log_scalar("training.loss_rel", loss / self.int_loss, i)
 
-            if (save_best or log) and loss < self.best_loss and not preburner:
+            if (save_best or log) and loss < self.best_loss and not sm["preburner"]:
                 self.best_loss = loss
-                self.best_var = float(var_d)
+                self.best_var = var_val
                 self.best_loss_rel = loss / self.int_loss
                 # post-update snapshot, replicating the reference quirk that
                 # deepcopy happens after optimizer.step (manager.py:280,297)
-                self.best_params = (params, bn_state)
+                self.best_params = snapshot()
                 self.best_epoch = i
                 self.best_time = _time.time() - t_start
 
-            if loss < last_loss:
-                counter = 0
+            if loss < sm["last_loss"]:
+                sm["counter"] = 0
             else:
-                counter += 1
-                if counter > kill_counter and preburner:
-                    counter = 0
-                    preburner = False
-                elif counter > kill_counter:
-                    break
-            last_loss = loss
+                sm["counter"] += 1
+                if sm["counter"] > kill_counter and sm["preburner"]:
+                    sm["counter"] = 0
+                    sm["preburner"] = False
+                elif sm["counter"] > kill_counter:
+                    return True
+            sm["last_loss"] = loss
             if (i % check_time == 0) and i > (preburn_time + 1) and \
-                    float(self.best_loss) / stale_save > (1 - impr_ratio) and not preburner:
-                break
-            elif i % check_time == 0 and not preburner and \
+                    float(self.best_loss) / sm["stale_save"] > (1 - impr_ratio) \
+                    and not sm["preburner"]:
+                return True
+            elif i % check_time == 0 and not sm["preburner"] and \
                     (self.best_loss < self.int_loss or i > 300):
-                stale_save = float(self.best_loss)
-            if preburner and ((loss < 0.25 * self.best_loss) or i > preburn_time):
-                preburner = False
+                sm["stale_save"] = float(self.best_loss)
+            if sm["preburner"] and ((loss < 0.25 * self.best_loss) or i > preburn_time):
+                sm["preburner"] = False
+            return False
 
+        next_i = epoch_start
+        i = epoch_start - 1
+        while next_i < epochs_end and not stop:
+            if sm["preburner"] or epochs_per_sync <= 1:
+                i = next_i
+                next_i += 1
+                step = epoch_step_preburn if sm["preburner"] else epoch_step_normal
+                params, bn_state, opt_state, loss_d, var_d, integ_e, err_e = step(
+                    params, bn_state, opt_state, self._next_key())
+                p_now, bn_now = params, bn_state
+                stop = process_epoch(i, float(loss_d), float(var_d),
+                                     float(integ_e), float(err_e),
+                                     lambda: (p_now, bn_now))
+            else:
+                k = min(int(epochs_per_sync), epochs_end - next_i)
+                best_loss_d = jnp.asarray(self.best_loss, dtype)
+                best_pb = self.best_params if self.best_params is not None \
+                    else (params, bn_state)
+                (params, bn_state, opt_state, _, chunk_pb, _), \
+                    (losses, variances, iis, eis) = chunk_step(
+                        params, bn_state, opt_state, best_loss_d, best_pb,
+                        self._next_key(), k=k)
+                losses = np.asarray(losses)
+                variances = np.asarray(variances)
+                iis = np.asarray(iis)
+                eis = np.asarray(eis)
+                for j in range(k):
+                    i = next_i
+                    next_i += 1
+                    stop = process_epoch(i, float(losses[j]), float(variances[j]),
+                                         float(iis[j]), float(eis[j]),
+                                         lambda: chunk_pb)
+                    if stop:
+                        break
+
+        if pbar is not None:
+            pbar.close()
         self._params, self._bn_state = params, bn_state
 
         # ---- PHASE C: tail integration with the best model in eval mode
