@@ -72,6 +72,13 @@ def main():
     try:
         sampler = build_sampler(NF._flow, params, bn_state)
         jit_sampler = jax.jit(lambda seed: sampler(seed, n))
+        # correctness gate before timing: outputs must be finite, in range,
+        # and distribution-consistent with the jnp path (E[jac] == 1)
+        xs, js = jit_sampler(jnp.int32(1))
+        assert bool(jnp.isfinite(js).all()), "pallas jac not finite"
+        assert bool(((xs >= 0) & (xs <= 1)).all()), "pallas x out of range"
+        assert abs(float(js.mean()) - 1.0) < 0.02, (
+            f"pallas E[jac]={float(js.mean())} != 1")
         dt = time_sampler(jit_sampler, jnp.int32(1))
         pallas_sps = n / dt
     except Exception as e:

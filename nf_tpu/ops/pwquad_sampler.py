@@ -9,8 +9,8 @@ latent points:
     quadratic CDF + Jacobian product) -> x, jac written once to HBM
 
 Design (see /opt/skills/guides/pallas_guide.md):
-  * batch lives in the lane dimension: every per-dimension quantity is an
-    ``[8, 128]`` f32 tile (1024 samples per grid step per sublane-tile), so
+  * batch lives in the lane dimension: every per-dimension quantity is a
+    ``[tile_sub, 128]`` f32 tile (tile_sub*128 samples per grid step), so
     all transform math is dense VPU work;
   * eval-mode BatchNorm layers are affine and are folded into the adjacent
     Linear weights host-side (``fold_eval_params``), leaving a bare
@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB, LANE = 8, 128
-TILE = SUB * LANE  # samples per grid step
+LANE = 128
+DEFAULT_SUB = 32  # sublane tile height; samples per grid step = sub * 128
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +96,7 @@ def fold_eval_params(flow, params, state):
 # ---------------------------------------------------------------------------
 
 def _mlp(xs_pass, weight_refs, layer_sizes):
-    """Unrolled scalar-broadcast MLP on a list of [SUB, LANE] activations."""
+    """Unrolled scalar-broadcast MLP on a list of [sub, LANE] activations."""
     h = xs_pass
     n_layers = len(layer_sizes)
     ref_idx = 0
@@ -106,7 +106,7 @@ def _mlp(xs_pass, weight_refs, layer_sizes):
         ref_idx += 2
         out = []
         for o in range(fan_out):
-            acc = jnp.full((SUB, LANE), b_ref[o], dtype=jnp.float32)
+            acc = jnp.full(h[0].shape, b_ref[o], dtype=jnp.float32)
             for i in range(fan_in):
                 acc = acc + h[i] * w_ref[i, o]
             out.append(acc)
@@ -117,7 +117,7 @@ def _mlp(xs_pass, weight_refs, layer_sizes):
 
 
 def _pwquad_dim(z_v, z_w, xB):
-    """One transformed dimension: lists of [SUB,LANE] logits -> (yB, pdf).
+    """One transformed dimension: lists of [sub,LANE] logits -> (yB, pdf).
 
     Mirrors nf_tpu.bijectors.coupling.pwquad_compute with the bin search and
     gathers unrolled as masked selects.
@@ -139,7 +139,7 @@ def _pwquad_dim(z_v, z_w, xB):
     v = [vk * inv_vnorm for vk in v]
 
     # edges and CDF-at-edge prefix sums, then masked select of the active bin
-    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    zero = jnp.zeros_like(xB)
     edge = zero
     vw = zero
     w_b = zero
@@ -149,7 +149,7 @@ def _pwquad_dim(z_v, z_w, xB):
     v_hi = zero
     for k in range(n_bins):
         nxt_edge = edge + w[k]
-        upper = nxt_edge if k < n_bins - 1 else jnp.full((SUB, LANE), 2.0, jnp.float32)
+        upper = nxt_edge if k < n_bins - 1 else jnp.full_like(xB, 2.0)
         m = jnp.logical_and(xB >= edge, xB < upper).astype(jnp.float32)
         w_b = w_b + m * w[k]
         edge_b = edge_b + m * edge
@@ -167,7 +167,7 @@ def _pwquad_dim(z_v, z_w, xB):
 
 def _pwlin_dim(z_q, xB):
     """One piecewise-LINEAR transformed dimension (reference
-    coupling_cells.py:107-142): list of n_bins [SUB,LANE] logits -> (yB, pdf)."""
+    coupling_cells.py:107-142): list of n_bins [sub,LANE] logits -> (yB, pdf)."""
     n_bins = len(z_q)
     q = [jnp.exp(z) for z in z_q]
     qtot = q[0]
@@ -177,14 +177,14 @@ def _pwlin_dim(z_q, xB):
     pdf = [qk * inv * n_bins for qk in q]       # mean-n_bins normalization
 
     t = xB * n_bins
-    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    zero = jnp.zeros_like(xB)
     cdf_lo = zero
     pdf_b = zero
     base_b = zero
     cdf = zero
     for k in range(n_bins):
-        upper = jnp.full((SUB, LANE), float(k + 1), jnp.float32) \
-            if k < n_bins - 1 else jnp.full((SUB, LANE), 2.0 * n_bins, jnp.float32)
+        upper = jnp.full_like(xB, float(k + 1)) \
+            if k < n_bins - 1 else jnp.full_like(xB, 2.0 * n_bins)
         m = jnp.logical_and(t >= float(k), t < upper).astype(jnp.float32)
         pdf_b = pdf_b + m * pdf[k]
         cdf_lo = cdf_lo + m * cdf
@@ -196,20 +196,29 @@ def _pwlin_dim(z_q, xB):
 
 
 def _uniform_from_bits(bits):
-    """uint32 random bits -> f32 uniforms in [0, 1)."""
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    """Random bits -> f32 uniforms in [0, 1).
+
+    ``prng_random_bits`` may return *signed* int32; an arithmetic shift of
+    negative bits would produce negative "uniforms" (and NaNs downstream),
+    and Mosaic cannot cast uint32->f32, so mask down to the low 24 bits —
+    always non-negative and exactly representable in f32.
+    """
+    bits24 = jnp.bitwise_and(bits.astype(jnp.int32), jnp.int32(0x00FFFFFF))
+    return bits24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 # ---------------------------------------------------------------------------
 # Sampler construction
 # ---------------------------------------------------------------------------
 
-def build_sampler(flow, params, state, interpret: bool = False):
+def build_sampler(flow, params, state, interpret: bool = False,
+                  tile_sub: int = DEFAULT_SUB):
     """Compile a fused sampler for a (trained) PWQuad flow in eval mode.
 
     Returns ``sample(seed: int32, n: int) -> (x [n, n_flow] f32, jac [n] f32)``.
-    ``n`` is rounded up to a multiple of 1024 internally and truncated on
-    return.  Raises ValueError for non-PWQuad cells.
+    ``n`` is rounded up to a multiple of ``tile_sub * 128`` internally and
+    truncated on return.  ``tile_sub`` sets the per-grid-step tile height
+    (samples per step = tile_sub * 128).
     """
     for c in flow.cells:
         if c.kind not in ("pwquad", "pwlin"):
@@ -231,15 +240,18 @@ def build_sampler(flow, params, state, interpret: bool = False):
 
     ops = flow.ops
 
+    sub = tile_sub
+    tile = sub * LANE
+
     def kernel(seed_ref, *refs):
         x_out = refs[-2]
         jac_out = refs[-1]
         weight_refs = refs[:-2]
 
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        bits = pltpu.prng_random_bits((n_flow, SUB, LANE))
+        bits = pltpu.prng_random_bits((n_flow, sub, LANE))
         xs = [_uniform_from_bits(bits[d]) for d in range(n_flow)]
-        jac = jnp.ones((SUB, LANE), jnp.float32)
+        jac = jnp.ones((sub, LANE), jnp.float32)
 
         for op in ops:
             tag = op[0]
@@ -279,8 +291,8 @@ def build_sampler(flow, params, state, interpret: bool = False):
         jac_out[0] = jac
 
     def sample(seed, n):
-        n_tiles = -(-n // TILE)
-        n_pad = n_tiles * TILE
+        n_tiles = -(-n // tile)
+        n_pad = n_tiles * tile
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
         operands = [jnp.asarray([seed], jnp.int32)]
@@ -297,14 +309,14 @@ def build_sampler(flow, params, state, interpret: bool = False):
             grid=grid,
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((n_flow, SUB, LANE), lambda i: (0, i, 0),
+                pl.BlockSpec((n_flow, sub, LANE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, SUB, LANE), lambda i: (0, i, 0),
+                pl.BlockSpec((1, sub, LANE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_flow, n_tiles * SUB, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((1, n_tiles * SUB, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_flow, n_tiles * sub, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_tiles * sub, LANE), jnp.float32),
             ),
             interpret=interpret,
         )(*operands)
@@ -315,7 +327,9 @@ def build_sampler(flow, params, state, interpret: bool = False):
     return sample
 
 
-def make_jit_sampler(flow, params, state, n, interpret=False):
+def make_jit_sampler(flow, params, state, n, interpret=False,
+                     tile_sub=DEFAULT_SUB):
     """Jitted fixed-size sampler: ``f(seed) -> (x, jac)``."""
-    sampler = build_sampler(flow, params, state, interpret=interpret)
+    sampler = build_sampler(flow, params, state, interpret=interpret,
+                            tile_sub=tile_sub)
     return jax.jit(functools.partial(sampler, n=n))
