@@ -94,6 +94,17 @@ def main():
     dt = time_sampler(xla_sample, jax.random.PRNGKey(0))
     xla_sps = n / dt
 
+    # XLA path with BN folded into the weights (nf_tpu.flows.fast_eval)
+    from nf_tpu.flows.fast_eval import make_folded_forward
+    folded = make_folded_forward(NF._flow, params, bn_state)
+
+    @jax.jit
+    def xla_folded_sample(key):
+        w = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
+        return folded(w)
+
+    xla_folded_sps = n / time_sampler(xla_folded_sample, jax.random.PRNGKey(0))
+
     # ---- secondary benches: flagship masked flow + 2->4 phase space w/ cuts
     flagship_sps = 0.0
     try:
@@ -124,7 +135,7 @@ def main():
     except Exception as e:
         print(f"# phase-space bench unavailable: {e}")
 
-    sps = max(pallas_sps, xla_sps)
+    sps = max(pallas_sps, xla_sps, xla_folded_sps)
     print(json.dumps({
         "metric": "camel2d_flow_samples_per_sec_per_chip",
         "value": sps,
@@ -133,6 +144,7 @@ def main():
         "extra": {
             "pallas_samples_per_sec": pallas_sps,
             "xla_samples_per_sec": xla_sps,
+            "xla_folded_samples_per_sec": xla_folded_sps,
             "flagship10d_pallas_samples_per_sec": flagship_sps,
             "phase_space_2to4_events_per_sec": ps_sps,
             "camel2d_integral": sig,

@@ -25,3 +25,20 @@ def make_mesh(devices=None, axis_name: str = "dp") -> Mesh:
 def data_parallel_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
     """Sharding that splits the leading (batch) dim over the mesh."""
     return NamedSharding(mesh, P(axis_name))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: ``jax.distributed.initialize`` + a global mesh.
+
+    On a multi-host pod slice, call once per host before any jax op; all
+    hosts then see the full device set and ``make_mesh()`` spans the slice
+    (DP collectives ride ICI within hosts and DCN across, handled by XLA).
+    Single-host callers can skip this entirely.  Arguments default to the
+    cluster-env auto-detection built into jax.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return make_mesh()
