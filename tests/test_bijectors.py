@@ -167,6 +167,23 @@ def test_batchnorm_torch_semantics():
     assert s3 is s2
 
 
+@pytest.mark.parametrize("build", [
+    lambda k: factory.build_pwquad_flow(k, 3, 3, 6, (8,), jnp.float64),
+    lambda k: factory.build_pwlin_flow(k, 4, 2, 2, 8, (8,), 1, jnp.float64),
+])
+def test_flow_is_measure_preserving(build):
+    """The flow maps [0,1]^n onto itself bijectively, so E_w[jac] == 1
+    exactly in expectation (MC check at the 5-sigma level)."""
+    flow, params, state = build(jax.random.PRNGKey(20))
+    n = 200_000
+    w = jax.random.uniform(jax.random.PRNGKey(21), (n, flow.n_flow),
+                           dtype=jnp.float64)
+    _, jac, _ = fmodel.forward(flow, params, state, w, False)
+    mean = float(jnp.mean(jac))
+    sem = float(jnp.std(jac) / jnp.sqrt(n))
+    assert abs(mean - 1.0) < 5 * sem + 1e-4
+
+
 def test_forward_deterministic():
     flow, params, state = factory.build_pwquad_flow(
         jax.random.PRNGKey(11), 4, 2, 6, (8, 8), jnp.float64)
