@@ -63,6 +63,12 @@ def main():
     exact = camel_exact()
     rel_err = abs(sig - exact) / exact
 
+    # unweighting efficiency w_mean/w_max on fresh samples
+    # (reference measurement protocol, experiment_mg.py:66-76,101)
+    x_u, jac_u = NF.sample(100_000, key=jax.random.PRNGKey(42))
+    w_u = camel(x_u) * jac_u
+    unweighting_eff = float(jnp.mean(w_u) / jnp.max(w_u))
+
     # ---- sampling throughput
     n = 1 << 21  # 2M samples per call
     params, bn_state = NF.best_params
@@ -151,6 +157,7 @@ def main():
             "camel2d_integral_err": sig_err,
             "camel2d_exact": exact,
             "camel2d_rel_err": rel_err,
+            "camel2d_unweighting_efficiency": unweighting_eff,
             "neval": neval, "nitn": nitn,
             "train_seconds": train_time,
             "device": str(jax.devices()[0]),
