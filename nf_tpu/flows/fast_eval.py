@@ -90,3 +90,117 @@ def make_folded_forward(flow, params, state, dtype=jnp.float32):
         return x, jac
 
     return forward
+
+
+def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
+                          transpose_out=True):
+    """Lane-efficient folded forward: internally ``[n_flow, B]`` layout.
+
+    With the reference's ``[B, n_flow]`` layout every elementwise op uses
+    only n_flow of the 128 TPU lanes; transposing puts the batch in the
+    lane dimension (the same trick the Pallas kernel uses), recovering full
+    VPU utilization for the jnp path on any backend.  Returns
+    ``f(w [B, n_flow]) -> (x [B, n_flow], jac [B])`` (set
+    ``transpose_out=False`` to keep the internal layout).
+    """
+    folded = fold_eval_params(flow, params, state)
+    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype))
+               for wm, bv in layers] for layers in folded]
+    cells = flow.cells
+    ops = flow.ops
+    n_flow = flow.n_flow
+
+    def mlp_t(layers, h):
+        # h: [in, B]; W: [in, out] -> out = W.T @ h + b[:, None]
+        for li, (wm, bv) in enumerate(layers):
+            h = jnp.dot(wm.T, h, preferred_element_type=jnp.float32
+                        ).astype(dtype) + bv[:, None]
+            if li < len(layers) - 1:
+                h = jnp.maximum(h, 0.0)
+        return h
+
+    def pwquad_t(z, xB, n_bins, t):
+        # z: [t*(2nb+1), B] -> [t, 2nb+1, B]; xB: [t, B]
+        B = z.shape[-1]
+        z = z.reshape(t, 2 * n_bins + 1, B)
+        v = jnp.exp(z[:, : n_bins + 1, :])
+        w = jnp.exp(z[:, n_bins + 1:, :])
+        wsum = jnp.cumsum(w, axis=1)
+        wnorm = wsum[:, -1:, :]
+        w = w / wnorm
+        wsum = wsum / wnorm
+        vnorm = jnp.sum((v[:, :-1, :] + v[:, 1:, :]) * 0.5 * w, axis=1,
+                        keepdims=True)
+        v = v / vnorm
+        b = jnp.sum((wsum <= xB[:, None, :]).astype(jnp.int32), axis=1)
+        b = jnp.minimum(b, n_bins - 1)[:, None, :]
+        wsum2 = jnp.concatenate([jnp.zeros_like(wsum[:, :1, :]), wsum], axis=1)
+        w_b = jnp.take_along_axis(w, b, axis=1)[:, 0, :]
+        edge_b = jnp.take_along_axis(wsum2, b, axis=1)[:, 0, :]
+        alphas = (xB - edge_b) / w_b
+        vw = jnp.concatenate(
+            [jnp.zeros_like(w[:, :1, :]),
+             jnp.cumsum((v[:, :-1, :] + v[:, 1:, :]) * 0.5 * w, axis=1)],
+            axis=1)
+        shift = jnp.take_along_axis(vw, b, axis=1)[:, 0, :]
+        v_lo = jnp.take_along_axis(v, b, axis=1)[:, 0, :]
+        v_hi = jnp.take_along_axis(v, b + 1, axis=1)[:, 0, :]
+        yB = 0.5 * alphas ** 2 * (v_hi - v_lo) * w_b + alphas * v_lo * w_b + shift
+        pdf = v_lo + (v_hi - v_lo) * alphas
+        return yB, jnp.prod(pdf, axis=0)
+
+    def pwlin_t(z, xB, n_bins, t):
+        B = z.shape[-1]
+        q = jnp.exp(z.reshape(t, n_bins, B))
+        qsum = jnp.cumsum(q, axis=1)
+        qnorm = qsum[:, -1:, :]
+        q = q / (qnorm / n_bins)
+        qsum = jnp.concatenate(
+            [jnp.zeros_like(qsum[:, :1, :]), qsum / qnorm], axis=1)
+        a = xB * n_bins
+        b = jnp.floor(a).astype(jnp.int32)[:, None, :]
+        alphas = (a - b[:, 0, :]) / n_bins
+        cdf_int = jnp.take_along_axis(qsum, b, axis=1)[:, 0, :]
+        cdf_flt = jnp.take_along_axis(q, b, axis=1)[:, 0, :]
+        yB = cdf_flt * alphas + cdf_int
+        return yB, jnp.prod(cdf_flt, axis=0)
+
+    def forward(w):
+        x = w.T.astype(dtype)              # [n_flow, B]
+        jac = jnp.ones((x.shape[1],), dtype)
+        for op in ops:
+            tag = op[0]
+            if tag == "roll":
+                x = jnp.roll(x, op[1], axis=0)
+            elif tag == "gather":
+                x = x[np.asarray(op[1])]
+            elif tag == "scatter":
+                inv = np.empty(len(op[1]), dtype=np.int64)
+                inv[np.asarray(op[1])] = np.arange(len(op[1]))
+                x = x[inv]
+            elif tag == "cell":
+                cfg = cells[op[1]]
+                pt = cfg.pass_through
+                t = cfg.flow_size - pt
+                z = mlp_t(folded[op[1]], x[:pt])
+                if cfg.kind == "pwquad":
+                    xB = jnp.minimum(x[pt:], 1.0 - 1e-6)
+                    yB, factor = pwquad_t(z, xB, cfg.n_bins, t)
+                elif cfg.kind == "pwlin":
+                    yB, factor = pwlin_t(z, x[pt:], cfg.n_bins, t)
+                else:  # affine
+                    xB = x[pt:]
+                    s0 = jnp.exp(z[:t])
+                    s1 = jnp.maximum(z[t:], 0.0)
+                    u = xB * (20.0 * s0) + s1
+                    diff = 1.0 / (u * u + 1.0)
+                    yB = jnp.arctan(u) / (math.pi / 2.0)
+                    factor = (jnp.prod(20.0 * s0, axis=0)
+                              * (1.0 / (math.pi / 2.0)) * jnp.prod(diff, axis=0))
+                x = jnp.concatenate([x[:pt], yB], axis=0)
+                jac = jac * factor
+        if transpose_out:
+            return x.T, jac
+        return x, jac
+
+    return forward

@@ -195,6 +195,45 @@ def _pwlin_dim(z_q, xB):
     return yB, pdf_b
 
 
+def _atan_pos(x):
+    """atan for x >= 0 (Mosaic has no atan primitive).
+
+    Cephes atanf range reduction: x > tan(3pi/8) -> pi/2 - atan(1/x);
+    x > tan(pi/8) -> pi/4 + atan((x-1)/(x+1)); then a 4-term odd minimax
+    polynomial on |z| <= tan(pi/8) (~1e-7 absolute error in f32).
+    """
+    t3p8 = jnp.float32(2.414213562373095)   # tan(3*pi/8)
+    tp8 = jnp.float32(0.4142135623730950)   # tan(pi/8)
+    big = x > t3p8
+    mid = jnp.logical_and(x > tp8, jnp.logical_not(big))
+    safe_x = jnp.maximum(x, jnp.float32(1e-30))
+    z = jnp.where(big, 1.0 / safe_x,
+                  jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    zz = z * z
+    p = jnp.float32(8.05374449538e-2)
+    p = p * zz - jnp.float32(1.38776856032e-1)
+    p = p * zz + jnp.float32(1.99777106478e-1)
+    p = p * zz - jnp.float32(3.33329491539e-1)
+    r = p * zz * z + z
+    return jnp.where(big, jnp.float32(math.pi / 2) - r,
+                     jnp.where(mid, jnp.float32(math.pi / 4) + r, r))
+
+
+def _affine_dim(z_s, z_t, xB):
+    """One affine transformed dimension (reference coupling_cells.py:50-70).
+
+    Returns (yB, per-dim pdf factor 20 e^s / (u^2+1)); the caller applies
+    the single global 2/pi factor once per cell (reference quirk).
+    u >= 0 always (xB, e^s, relu(t) all non-negative), so _atan_pos applies.
+    """
+    s0 = jnp.exp(z_s)
+    s1 = jnp.maximum(z_t, 0.0)
+    u = xB * (20.0 * s0) + s1
+    diff = 1.0 / (u * u + 1.0)
+    yB = _atan_pos(u) * jnp.float32(2.0 / math.pi)
+    return yB, (20.0 * s0) * diff
+
+
 def _uniform_from_bits(bits):
     """Random bits -> f32 uniforms in [0, 1).
 
@@ -221,8 +260,8 @@ def build_sampler(flow, params, state, interpret: bool = False,
     (samples per step = tile_sub * 128).
     """
     for c in flow.cells:
-        if c.kind not in ("pwquad", "pwlin"):
-            raise ValueError("fused sampler supports PWQuad/PWLin flows only")
+        if c.kind not in ("pwquad", "pwlin", "affine"):
+            raise ValueError(f"fused sampler: unsupported cell kind {c.kind!r}")
 
     folded = fold_eval_params(flow, params, state)
     n_flow = flow.n_flow
@@ -270,20 +309,31 @@ def build_sampler(flow, params, state, interpret: bool = False,
                 t = n_flow - pass_through
                 wrefs = weight_refs[start:start + 2 * len(sizes)]
                 z = _mlp(xs[:pass_through], wrefs, sizes)
-                width = (2 * n_bins + 1) if kind == "pwquad" else n_bins
                 new_tail = []
-                for ti in range(t):
-                    if kind == "pwquad":
-                        xB = jnp.minimum(xs[pass_through + ti], 1.0 - 1e-6)
-                        z_v = z[ti * width: ti * width + n_bins + 1]
-                        z_w = z[ti * width + n_bins + 1: (ti + 1) * width]
-                        yB, pdf = _pwquad_dim(z_v, z_w, xB)
-                    else:
-                        xB = xs[pass_through + ti]
-                        z_q = z[ti * width: (ti + 1) * width]
-                        yB, pdf = _pwlin_dim(z_q, xB)
-                    new_tail.append(yB)
-                    jac = jac * pdf
+                if kind == "affine":
+                    # conditioner emits [2, t]: scales then shifts
+                    for ti in range(t):
+                        yB, pdf = _affine_dim(z[ti], z[t + ti],
+                                              xs[pass_through + ti])
+                        new_tail.append(yB)
+                        jac = jac * pdf
+                    # single 2/pi factor per cell (reference quirk,
+                    # coupling_cells.py:68)
+                    jac = jac * jnp.float32(2.0 / math.pi)
+                else:
+                    width = (2 * n_bins + 1) if kind == "pwquad" else n_bins
+                    for ti in range(t):
+                        if kind == "pwquad":
+                            xB = jnp.minimum(xs[pass_through + ti], 1.0 - 1e-6)
+                            z_v = z[ti * width: ti * width + n_bins + 1]
+                            z_w = z[ti * width + n_bins + 1: (ti + 1) * width]
+                            yB, pdf = _pwquad_dim(z_v, z_w, xB)
+                        else:
+                            xB = xs[pass_through + ti]
+                            z_q = z[ti * width: (ti + 1) * width]
+                            yB, pdf = _pwlin_dim(z_q, xB)
+                        new_tail.append(yB)
+                        jac = jac * pdf
                 xs = xs[:pass_through] + new_tail
 
         for d in range(n_flow):

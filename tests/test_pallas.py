@@ -105,3 +105,32 @@ def test_pallas_pwlin_sampler_statistics():
                                rtol=0.05)
     np.testing.assert_allclose(x_np.mean(0), np.asarray(jnp.mean(x_ref, 0)),
                                atol=0.02)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="pallas TPU kernel: interpret-mode PRNG not "
+                           "available on CPU backend")
+def test_pallas_affine_sampler_statistics():
+    """Affine cells use the in-kernel polynomial atan (_atan_pos)."""
+    flow, params, state = factory.build_affine_flow(
+        jax.random.PRNGKey(6), 2, 1, 2, (6,), 1, jnp.float32)
+    sampler = pwquad_sampler.build_sampler(flow, params, state)
+    n = 1 << 15
+    x, jac = sampler(3, n)
+    x_np, jac_np = np.asarray(x), np.asarray(jac)
+    assert np.all(np.isfinite(jac_np))
+    w = jax.random.uniform(jax.random.PRNGKey(7), (n, 2), dtype=jnp.float32)
+    x_ref, jac_ref, _ = fmodel.forward(flow, params, state, w, False)
+    np.testing.assert_allclose(jac_np.mean(), float(jnp.mean(jac_ref)),
+                               rtol=0.05)
+    np.testing.assert_allclose(x_np.mean(0), np.asarray(jnp.mean(x_ref, 0)),
+                               atol=0.02)
+
+
+def test_atan_pos_accuracy():
+    """Polynomial atan matches jnp.arctan to <3e-7 absolute on [0, 1e6]."""
+    x = jnp.asarray(np.concatenate([np.linspace(0, 5, 2001),
+                                    np.geomspace(5, 1e6, 500)]), jnp.float32)
+    err = np.abs(np.asarray(pwquad_sampler._atan_pos(x))
+                 - np.arctan(np.asarray(x)))
+    assert err.max() < 3e-7
