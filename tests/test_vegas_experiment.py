@@ -119,3 +119,59 @@ def test_callback_pdf_works_under_jit():
 
     x = jnp.asarray([0.1, 0.2, 0.5])
     np.testing.assert_allclose(np.asarray(run(x)), [0.2, 0.4, 1.0], rtol=1e-6)
+
+
+def test_run_sweep_collects_results(tmp_path):
+    import nf_tpu.utils.experiment as exp
+    from nf_tpu.utils.sweep import run_sweep
+    from nf_tpu.utils.experiment import prov
+
+    base = {
+        "n_flow": 2, "n_bins": 4, "NN_width": 4, "NN_length": 2,
+        "dev": 0, "lr": 2e-3, "weight_decay": 1e-4, "var_n": 1000,
+        "batch_size": 400, "pt": 0, "f": gauss2,
+        "logdir": str(tmp_path), "log": False, "seed": 0,
+    }
+    old = exp.EPOCH_LENGTH
+    exp.EPOCH_LENGTH = 5
+    try:
+        results = run_sweep([
+            dict(base, id=1),
+            dict(base, id=2, worker=prov),
+        ])
+    finally:
+        exp.EPOCH_LENGTH = old
+    methods = sorted(r["method"] for r in results)
+    assert methods == ["NIS", "VEGAS"]
+    for r in results:
+        assert r["id"] in (1, 2)
+        assert "sigma_pb" in r
+
+
+def test_grid_pdf_from_lhapdf_interface():
+    """GridPDF.from_lhapdf works with any object exposing xfxQ2 (here the
+    ToyPDF standing in for a real LHAPDF member)."""
+    from nf_tpu.phasespace.pdf import GridPDF
+
+    class HostToy:
+        def xfxQ2(self, pdg, x, q2):
+            return 2.0 * x * (1.0 - x)
+
+    # geomspace x-grid is coarse near x~1 at low n_x; use enough points
+    gpdf = GridPDF.from_lhapdf(HostToy(), pdgs=[21], n_x=512, n_q2=4)
+    x = jnp.asarray([0.01, 0.1, 0.5, 0.9])
+    got = np.asarray(gpdf.xfxQ2(21, x, jnp.full(4, 100.0)))
+    want = 2.0 * np.asarray(x) * (1 - np.asarray(x))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=1e-3)
+
+
+def test_profiling_benchmark_and_timer():
+    from nf_tpu.utils.profiling import Timer, benchmark
+
+    f = jax.jit(lambda x: (x * 2).sum())
+    x = jnp.ones(1000)
+    dt = benchmark(f, x, reps=3, warmup=1)
+    assert dt > 0
+    with Timer() as t:
+        t.block_on(f(x))
+    assert t.seconds > 0
