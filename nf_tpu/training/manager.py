@@ -139,7 +139,7 @@ class BasicManager(ModelAPI):
         follows the reference's per-epoch cadence exactly.
         """
         del dev
-        if loss_mode not in ("var", "est"):
+        if loss_mode not in ("var", "est", "kl"):
             print("Unknown loss function")
             return
         self._mesh = mesh
@@ -233,8 +233,20 @@ class BasicManager(ModelAPI):
                             fXJ = fres / maxf
                             integ_inc = jnp.mean(jax.lax.stop_gradient(fres))
                             err_inc = _var(jax.lax.stop_gradient(fres))
-                        if loss_mode == "var":
+                        if loss_mode == "var" or (loss_mode == "kl" and preburn):
+                            # kl mode keeps the variance loss during preburn:
+                            # KL losses are negative, which would confuse the
+                            # reference's ratio-based preburn-exit condition
                             l = _var(fXJ)
+                        elif loss_mode == "kl":
+                            # reweighted forward KL (an nf_tpu extension —
+                            # the objective the reference's successor Zunis
+                            # adopted): minimize -E_w[w_tilde log q(x)] with
+                            # w_tilde = f*J detached and log q = -log J.
+                            # Mass-covering and far more stable than the
+                            # variance loss on narrow/peaked targets.
+                            l = jnp.mean(jax.lax.stop_gradient(fXJ)
+                                         * jnp.log(jnp.maximum(jacv, 1e-30)))
                         else:
                             l = jnp.mean((fXJ * maxf) ** 2)
                         var_inc = _var(jax.lax.stop_gradient(fXJ) ** 2) / mini_batch_size
@@ -346,8 +358,11 @@ class BasicManager(ModelAPI):
                     return True
             sm["last_loss"] = loss
             if (i % check_time == 0) and i > (preburn_time + 1) and \
+                    loss_mode != "kl" and \
                     float(self.best_loss) / sm["stale_save"] > (1 - impr_ratio) \
                     and not sm["preburner"]:
+                # (ratio-based staleness is meaningless for the negative KL
+                # loss; kl mode stops via kill_counter/epochs instead)
                 return True
             elif i % check_time == 0 and not sm["preburner"] and \
                     (self.best_loss < self.int_loss or i > 300):
@@ -443,7 +458,17 @@ class BasicManager(ModelAPI):
 
     # -- post-training integrator (reference manager.py:380-405) ------------
 
-    def integrate(self, f, nitn, neval, dev=None, seed=None):
+    def integrate(self, f, nitn, neval, dev=None, seed=None, combine="iw"):
+        """Post-training MC estimate (reference manager.py:380-405).
+
+        ``combine="iw"`` (default) is the reference's inverse-variance
+        weighting over iterations.  Beware: on heavy-tailed integrands the
+        per-iteration variance estimates correlate with the means
+        (iterations that miss the tail look both low and precise), biasing
+        the combination LOW — measured at 5 sigma on a Z-resonance target.
+        ``combine="mean"`` pools all samples into an unbiased plain mean
+        with the exact standard error.
+        """
         if self.best_params is None:
             print("No model has been trained")
             return (0, 0)
@@ -465,8 +490,15 @@ class BasicManager(ModelAPI):
                 return None, (jnp.mean(fres), _var(fres))
             keys = jax.random.split(key, nitn)
             _, (means, variances) = jax.lax.scan(itn, None, keys)
-            sig = jnp.sum(means / variances) / jnp.sum(1.0 / variances)
-            sig_err = jnp.sqrt(1.0 / jnp.sum(1.0 / variances)) / math.sqrt(neval * nitn)
+            if combine == "mean":
+                sig = jnp.mean(means)
+                # pooled variance of the grand mean (within-iteration only;
+                # iterations are iid so this is exact up to ddof detail)
+                sig_err = jnp.sqrt(jnp.mean(variances) / (neval * nitn))
+            else:
+                sig = jnp.sum(means / variances) / jnp.sum(1.0 / variances)
+                sig_err = jnp.sqrt(1.0 / jnp.sum(1.0 / variances)) \
+                    / math.sqrt(neval * nitn)
             return sig, sig_err
 
         sig, sig_err = run_all(key)
