@@ -93,9 +93,14 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
 
     @staticmethod
     def rho(M, N, m):
-        """sqrt((M^2-(N+m)^2)(M^2-(N-m)^2)) / (8 M^2) (reference :107-113)."""
+        """sqrt((M^2-(N+m)^2)(M^2-(N-m)^2)) / (8 M^2) (reference :107-113).
+
+        The product is clamped at zero: rounding can push it fractionally
+        negative when N+m approaches M (reference NaNs there).
+        """
         Msqr = M ** 2
-        return ((Msqr - (N + m) ** 2) * (Msqr - (N - m) ** 2)) ** 0.5 / (8.0 * Msqr)
+        prod = (Msqr - (N + m) ** 2) * (Msqr - (N - m) ** 2)
+        return jnp.maximum(prod, 0.0) ** 0.5 / (8.0 * Msqr)
 
     # -- PDF weight ---------------------------------------------------------
 
@@ -160,12 +165,14 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         nf = self.n_final
         weight = weight * 8.0 * self.rho(M[:, nf - 2], masses[nf - 1], masses[nf - 2])
         if nf > 2:
+            # rho_K == 0 marks a degenerate (measure-zero) intermediate-mass
+            # point; the reference produces 0/0 = NaN there — weight it zero
+            rho_m = self.rho(M[:, : nf - 2], M[:, 1:], masses[: nf - 2][None, :])
+            rho_k = self.rho(K[:, : nf - 2], K[:, 1:], 0.0)
+            ratio = jnp.where(rho_k > 0,
+                              rho_m / jnp.where(rho_k > 0, rho_k, 1.0), 0.0)
             weight = weight * jnp.prod(
-                (self.rho(M[:, : nf - 2], M[:, 1:], masses[: nf - 2][None, :])
-                 / self.rho(K[:, : nf - 2], K[:, 1:], 0.0))
-                * (M[:, 1: nf - 1] / K[:, 1: nf - 1]),
-                axis=-1,
-            )
+                ratio * (M[:, 1: nf - 1] / K[:, 1: nf - 1]), axis=-1)
         weight = weight * (K[:, 0] / M[:, 0]) ** (2 * nf - 4)
         return M, weight
 
@@ -264,10 +271,13 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         q = 4.0 * M_full[:, :-1] * self.rho(M_full[:, :-1], M_full[:, 1:], masses[:-1][None, :])
         rnd = random_variables[:, self.n_final - 2: 3 * self.n_final - 4]
         cos_theta = 2.0 * rnd[:, 0::2] - 1.0
-        sin_theta = jnp.sqrt(1.0 - cos_theta ** 2)
+        # clamped sqrt args: hardware cos approximations can return values
+        # fractionally outside [-1, 1] in f32 (reference would emit NaN)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta ** 2, 0.0))
         phia = 2.0 * math.pi * rnd[:, 1::2]
         cos_phi = jnp.cos(phia)
-        sin_phi = jnp.where(phia > math.pi, -1.0, 1.0) * jnp.sqrt(1.0 - cos_phi ** 2)
+        sin_phi = jnp.where(phia > math.pi, -1.0, 1.0) \
+            * jnp.sqrt(jnp.maximum(1.0 - cos_phi ** 2, 0.0))
 
         a = q * sin_theta * cos_phi
         b = q * sin_theta * sin_phi
@@ -309,7 +319,22 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
 
         weight = weight * factor
         shat = xb_1 * xb_2 * collider_energy ** 2
-        return momenta_com, weight / (2.0 * shat)
+        weight = weight / (2.0 * shat)
+
+        # Final sanitation: ~1e-6 of f32 events hit numerically unresolvable
+        # kinematics (intermediate masses below float precision make the
+        # decay-chain boosts beta -> 1 and overflow).  The reference lets the
+        # resulting NaN/inf poison the whole batch — fatal for training,
+        # where one NaN gradient destroys the optimizer state.  Zero those
+        # events instead (measure-zero bias, orders of magnitude below MC
+        # error); f64 is effectively unaffected.
+        bad = jnp.any(~jnp.isfinite(momenta_com), axis=(1, 2)) \
+            | ~jnp.isfinite(weight)
+        weight = jnp.where(bad, 0.0, weight)
+        momenta_com = jnp.where(bad[:, None, None], 0.0,
+                                jnp.nan_to_num(momenta_com, posinf=0.0,
+                                               neginf=0.0))
+        return momenta_com, weight
 
     # -- the inverse map ------------------------------------------------------
 

@@ -22,8 +22,13 @@ def rho2(p):
 
 
 def set_square(p, square):
-    """Reset the time component so p.p == square (utils.py:5-19)."""
-    e = jnp.sqrt(rho2(p) + square)
+    """Reset the time component so p.p == square (utils.py:5-19).
+
+    The argument is clamped at zero before the sqrt: in f32 ultra-
+    relativistic kinematics can round rho2+square fractionally negative,
+    where the reference would emit NaN.
+    """
+    e = jnp.sqrt(jnp.maximum(rho2(p) + square, 0.0))
     return jnp.concatenate([e[..., None], p[..., 1:]], axis=-1)
 
 
@@ -38,8 +43,13 @@ def square(p):
 
 
 def boost_vector(p):
-    """beta = p_space / E (utils.py:31-36)."""
-    return p[..., 1:] / p[..., 0:1]
+    """beta = p_space / E (utils.py:31-36).
+
+    Zero-energy (fully degenerate) vectors get beta = 0 instead of the
+    reference's 0/0 NaN.
+    """
+    e = p[..., 0:1]
+    return jnp.where(e != 0, p[..., 1:] / jnp.where(e != 0, e, 1.0), 0.0)
 
 
 def boost(p, beta):
@@ -50,6 +60,9 @@ def boost(p, beta):
     beta shaped [..., 1, 3].
     """
     b2 = jnp.sum(beta * beta, axis=-1)
+    # clamp: for near-massless boosts f32 rounds b2 to >= 1 (the reference
+    # would produce NaN); the clamp bounds gamma at ~3e5
+    b2 = jnp.minimum(b2, 1.0 - 1e-11)
     gamma = 1.0 / jnp.sqrt(1.0 - b2)
     bp = jnp.sum(p[..., 1:] * beta, axis=-1)
     gamma2 = jnp.where(b2 > 0, (gamma - 1.0) / jnp.where(b2 > 0, b2, 1.0), 0.0)

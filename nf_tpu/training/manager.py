@@ -111,7 +111,8 @@ class BasicManager(ModelAPI):
                                     dev=0, mini_batch_size=2000, integrate=False,
                                     preburn_time=75, kill_counter=7, impr_ratio=1e-2,
                                     loss_mode="var", seed=None, mesh=None,
-                                    pathwise=False, epochs_per_sync=1):
+                                    pathwise=False, epochs_per_sync=1,
+                                    select_best_by="loss"):
         """Train with the integrand variance as loss; Jacobian from the forward
         pass (fixed latent sample, gradient through the Jacobian only).
 
@@ -128,6 +129,13 @@ class BasicManager(ModelAPI):
         additionally differentiates through ``f(x)`` (requires a
         differentiable integrand) — a strictly richer gradient that the
         reference cannot compute, markedly better on narrow/peaked targets.
+
+        ``select_best_by="ess"`` snapshots the best model by the epoch's
+        effective-sample fraction E[w]^2/E[w^2] instead of the minimum loss.
+        The reference's min-loss selection picks fluke epochs on noisy
+        heavy-tailed targets (a low observed loss often just means the batch
+        missed the tail); ESS directly measures importance-sampling quality.
+        The default reproduces the reference's selection rule.
 
         ``epochs_per_sync > 1`` fuses that many epochs into one jit-compiled
         ``lax.scan`` step (best-model tracking stays per-epoch exact inside
@@ -250,20 +258,24 @@ class BasicManager(ModelAPI):
                         else:
                             l = jnp.mean((fXJ * maxf) ** 2)
                         var_inc = _var(jax.lax.stop_gradient(fXJ) ** 2) / mini_batch_size
-                        return l, (new_bn, integ_inc, err_inc, var_inc)
+                        sq_inc = jnp.mean(jax.lax.stop_gradient(fres) ** 2)
+                        return l, (new_bn, integ_inc, err_inc, var_inc, sq_inc)
 
-                    (l, (new_bn, ii, ei, vi)), g = jax.value_and_grad(
+                    (l, (new_bn, ii, ei, vi, qi)), g = jax.value_and_grad(
                         loss_fn, has_aux=True)(params)
-                    return new_bn, (l, g, ii, ei, vi)
+                    return new_bn, (l, g, ii, ei, vi, qi)
 
                 keys = jax.random.split(key, n_minibatches)
-                bn_state, (ls, gs, iis, eis, vis) = jax.lax.scan(minibatch, bn_state, keys)
+                bn_state, (ls, gs, iis, eis, vis, qis) = jax.lax.scan(
+                    minibatch, bn_state, keys)
                 loss = jnp.mean(ls)
                 grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gs)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
+                mean_w = jnp.mean(iis)
+                ess = mean_w ** 2 / jnp.maximum(jnp.mean(qis), 1e-300)
                 return (params, bn_state, opt_state, loss,
-                        jnp.sum(vis), jnp.mean(iis), jnp.mean(eis))
+                        jnp.sum(vis), mean_w, jnp.mean(eis), ess)
             return epoch_step
 
         epoch_body_preburn = make_epoch_body(True)
@@ -273,21 +285,24 @@ class BasicManager(ModelAPI):
 
         # chunked multi-epoch step: scan epochs_per_sync epochs in one jit
         # call, tracking the in-chunk best (params, bn) per epoch on device
+        by_ess = select_best_by == "ess"
+
         @partial(jax.jit, static_argnames=("k",))
-        def chunk_step(params, bn_state, opt_state, best_loss_d, best_pb, key, k):
+        def chunk_step(params, bn_state, opt_state, best_metric_d, best_pb, key, k):
             def body(carry, ek):
-                params, bn, opt, b_loss, b_pb, b_var = carry
-                params, bn, opt, loss, var, ii, ei = epoch_body_normal(
+                params, bn, opt, b_metric, b_pb, b_var = carry
+                params, bn, opt, loss, var, ii, ei, ess = epoch_body_normal(
                     params, bn, opt, ek)
-                improved = loss < b_loss
-                b_loss = jnp.where(improved, loss, b_loss)
+                improved = (ess > b_metric) if by_ess else (loss < b_metric)
+                b_metric = jnp.where(improved, ess if by_ess else loss, b_metric)
                 b_var = jnp.where(improved, var, b_var)
                 b_pb = jax.tree.map(
                     lambda old, new: jnp.where(improved, new, old),
                     b_pb, (params, bn))
-                return (params, bn, opt, b_loss, b_pb, b_var), (loss, var, ii, ei)
+                return (params, bn, opt, b_metric, b_pb, b_var), \
+                    (loss, var, ii, ei, ess)
             keys = jax.random.split(key, k)
-            init = (params, bn_state, opt_state, best_loss_d, best_pb,
+            init = (params, bn_state, opt_state, best_metric_d, best_pb,
                     jnp.zeros((), dtype))
             carry, outs = jax.lax.scan(body, init, keys)
             return carry, outs
@@ -320,7 +335,9 @@ class BasicManager(ModelAPI):
         sm = {"stale_save": stale_save, "preburner": preburner,
               "counter": counter, "last_loss": last_loss}
 
-        def process_epoch(i, loss, var_val, integ_e, err_e, snapshot):
+        self.best_ess = -float("inf")
+
+        def process_epoch(i, loss, var_val, integ_e, err_e, ess, snapshot):
             """Host state machine for one finished epoch (reference
             manager.py:282-327).  ``snapshot()`` returns the post-update
             (params, bn_state) to store on improvement.  Returns True to
@@ -337,7 +354,10 @@ class BasicManager(ModelAPI):
                 run.log_scalar("training.loss", loss, i)
                 run.log_scalar("training.loss_rel", loss / self.int_loss, i)
 
-            if (save_best or log) and loss < self.best_loss and not sm["preburner"]:
+            improved = (ess > self.best_ess) if select_best_by == "ess" \
+                else (loss < self.best_loss)
+            if (save_best or log) and improved and not sm["preburner"]:
+                self.best_ess = ess
                 self.best_loss = loss
                 self.best_var = var_val
                 self.best_loss_rel = loss / self.int_loss
@@ -378,31 +398,35 @@ class BasicManager(ModelAPI):
                 i = next_i
                 next_i += 1
                 step = epoch_step_preburn if sm["preburner"] else epoch_step_normal
-                params, bn_state, opt_state, loss_d, var_d, integ_e, err_e = step(
-                    params, bn_state, opt_state, self._next_key())
+                params, bn_state, opt_state, loss_d, var_d, integ_e, err_e, ess_d = \
+                    step(params, bn_state, opt_state, self._next_key())
                 p_now, bn_now = params, bn_state
                 stop = process_epoch(i, float(loss_d), float(var_d),
-                                     float(integ_e), float(err_e),
+                                     float(integ_e), float(err_e), float(ess_d),
                                      lambda: (p_now, bn_now))
             else:
                 k = min(int(epochs_per_sync), epochs_end - next_i)
-                best_loss_d = jnp.asarray(self.best_loss, dtype)
+                best_metric_d = jnp.asarray(
+                    self.best_ess if by_ess else self.best_loss, dtype)
+                if by_ess and not np.isfinite(float(best_metric_d)):
+                    best_metric_d = jnp.asarray(-1.0, dtype)
                 best_pb = self.best_params if self.best_params is not None \
                     else (params, bn_state)
                 (params, bn_state, opt_state, _, chunk_pb, _), \
-                    (losses, variances, iis, eis) = chunk_step(
-                        params, bn_state, opt_state, best_loss_d, best_pb,
+                    (losses, variances, iis, eis, esses) = chunk_step(
+                        params, bn_state, opt_state, best_metric_d, best_pb,
                         self._next_key(), k=k)
                 losses = np.asarray(losses)
                 variances = np.asarray(variances)
                 iis = np.asarray(iis)
                 eis = np.asarray(eis)
+                esses = np.asarray(esses)
                 for j in range(k):
                     i = next_i
                     next_i += 1
                     stop = process_epoch(i, float(losses[j]), float(variances[j]),
                                          float(iis[j]), float(eis[j]),
-                                         lambda: chunk_pb)
+                                         float(esses[j]), lambda: chunk_pb)
                     if stop:
                         break
 
