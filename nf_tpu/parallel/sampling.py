@@ -1,0 +1,139 @@
+"""Multi-chip sampling and integration over the 'dp' mesh.
+
+Closes the distributed gap for the *production* endpoints (SURVEY.md §5:
+training DP exists in parallel/dp.py; this module adds sampling/integration):
+each device draws a disjoint latent shard via per-device key folding
+(``jax.random.fold_in`` on the 'dp' axis index — replacing the reference's
+single-stream ``torch.nn.init.uniform_``, manager.py:221-222), maps it
+through the flow locally, and the integral's mean/variance reduce with
+``psum`` over ICI.  Params are replicated; the only collective is
+all-reduce, exactly the inventory SURVEY §2 calls for.
+
+The per-device forward is the folded eval-mode jnp path on CPU/GPU and the
+fused Pallas kernel on TPU (seeded per device by a large stride so PRNG
+streams never collide across chips or grid steps).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+AXIS = "dp"
+
+# Per-device seed stride for the fused kernel: the kernel consumes
+# seed + program_id per grid tile, so any stride larger than the per-device
+# tile count keeps the streams disjoint.  2**20 tiles/device = 4G samples.
+SEED_STRIDE = 1 << 20
+
+
+def _mesh_size(mesh, axis=AXIS):
+    return mesh.shape[axis]
+
+
+def _global_stats(fres, axis_name=AXIS):
+    """psum'd (mean, unbiased variance) of the full cross-device batch."""
+    n = fres.shape[0] * jax.lax.psum(1, axis_name)
+    s1 = jax.lax.psum(jnp.sum(fres), axis_name)
+    s2 = jax.lax.psum(jnp.sum(fres * fres), axis_name)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return mean, var
+
+
+def _make_local_draw(flow, params, state, n_local, method, dtype, seed):
+    """Per-device draw: ``draw(key, idx) -> (x [n_local, n_flow], jac)``.
+
+    ``idx`` is the device's 'dp' axis index (traced).  ``key`` is the shared
+    per-call base key (replicated); folding in ``idx`` makes streams
+    disjoint.
+    """
+    if method == "auto":
+        from nf_tpu.flows.sampling import default_method
+        method = default_method(flow)
+    if method == "fused":
+        from nf_tpu.ops.pwquad_sampler import build_sampler
+        from nf_tpu.flows.sampling import key_to_seed
+        interpret = jax.default_backend() != "tpu"
+        sampler = build_sampler(flow, params, state, interpret=interpret)
+
+        def draw(key, idx):
+            return sampler(key_to_seed(key) + idx * SEED_STRIDE, n_local)
+    else:
+        from nf_tpu.flows.fast_eval import make_folded_forward_t
+        fwd = make_folded_forward_t(flow, params, state, dtype)
+
+        def draw(key, idx):
+            w = jax.random.uniform(jax.random.fold_in(key, idx),
+                                   (n_local, flow.n_flow), dtype)
+            return fwd(w)
+    return draw
+
+
+def dp_sample(flow, params, state, mesh, n, seed=0, method="auto",
+              dtype=jnp.float32):
+    """Draw ``n`` samples sharded over the mesh; returns ``(x, jac)`` global.
+
+    ``n`` must divide evenly by the mesh size (per-device shards are
+    static-shaped).
+    """
+    n_dev = _mesh_size(mesh)
+    if n % n_dev:
+        raise ValueError(f"n={n} not divisible by mesh size {n_dev}")
+    n_local = n // n_dev
+    draw = _make_local_draw(flow, params, state, n_local, method, dtype, seed)
+
+    def shard_fn(key):
+        idx = jax.lax.axis_index(AXIS)
+        return draw(key, idx)
+
+    fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
+                               out_specs=(P(AXIS), P(AXIS))))
+    return fn(jax.random.PRNGKey(seed))
+
+
+def dp_integrate(flow, params, state, f, mesh, nitn, neval, seed=0,
+                 method="auto", combine="iw", dtype=jnp.float32):
+    """Multi-chip post-training integration (reference manager.py:380-405,
+    distributed): ``nitn`` iterations of ``neval`` global samples, per-device
+    shards, psum'd mean/variance, inverse-variance ("iw") or pooled-mean
+    combination on host.  Matches the single-device estimate to roundoff
+    when run with the same per-(iteration, device) keys
+    (tests/test_dp_sampling.py).
+    """
+    n_dev = _mesh_size(mesh)
+    neval = int(neval)
+    if neval % n_dev:
+        raise ValueError(f"neval={neval} not divisible by mesh size {n_dev}")
+    n_local = neval // n_dev
+    draw = _make_local_draw(flow, params, state, n_local, method, dtype, seed)
+
+    def shard_fn(keys):
+        idx = jax.lax.axis_index(AXIS)
+
+        def itn(_, k):
+            x, jacv = draw(k, idx)
+            fres = f(x) * jacv
+            mean, var = _global_stats(fres)
+            return None, (mean, var)
+
+        _, (means, variances) = jax.lax.scan(itn, None, keys)
+        return means, variances
+
+    fn = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
+                               out_specs=(P(), P())))
+    keys = jax.random.split(jax.random.PRNGKey(seed), nitn)
+    means, variances = fn(keys)
+    means = jnp.asarray(means)
+    variances = jnp.asarray(variances)
+    if combine == "mean":
+        sig = float(jnp.mean(means))
+        sig_err = float(jnp.sqrt(jnp.mean(variances) / (neval * nitn)))
+    else:
+        sig = float(jnp.sum(means / variances) / jnp.sum(1.0 / variances))
+        sig_err = float(jnp.sqrt(1.0 / jnp.sum(1.0 / variances))
+                        / math.sqrt(neval * nitn))
+    return sig, sig_err
