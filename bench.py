@@ -1,9 +1,11 @@
-"""Benchmark: flow sampling throughput (samples/sec/chip) + camel-2D accuracy.
+"""Benchmark: production-endpoint sampling throughput + camel-2D accuracy.
 
 Headline metric per BASELINE.json: samples/sec/chip on the README camel-2D
-configuration (PWQuadManager.create_model(2, 4, [3]*3)), with the relative
-error of the trained integral vs the analytic camel value as the accuracy
-gate.  vs_baseline is measured against the 1e7 samples/sec/chip north star.
+configuration (PWQuadManager.create_model(2, 4, [3]*3)), measured through
+the PRODUCTION API (``BasicManager.sample``, which auto-selects the fused
+Pallas kernel on TPU), with the relative error of the trained integral vs
+the analytic camel value as the accuracy gate.  vs_baseline is measured
+against the 1e7 samples/sec/chip north star.
 
 Prints ONE JSON line.
 """
@@ -17,6 +19,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def camel(x):
@@ -46,7 +49,10 @@ def main():
     from nf_tpu.flows import model as fmodel
     from nf_tpu.ops.pwquad_sampler import build_sampler
 
-    # ---- train the README camel config (reference README.md:32-46)
+    on_tpu = jax.default_backend() == "tpu"
+
+    # ---- train the README camel config (reference README.md:32-46);
+    # epochs_per_sync defaults to "auto": check_time-aligned jit chunks
     NF = PWQuadManager(n_flow=2, seed=0)
     NF.create_model(2, 4, [3] * 3)
     opt = optimizers.adamax(2e-3, 1e-4)
@@ -57,7 +63,27 @@ def main():
         preburn_time=20)
     train_time = time.time() - t_train0
 
-    # accuracy at fixed neval (north star: match reference integral/error)
+    params, bn_state = NF.best_params
+
+    # ---- TPU-exact kernel gate: the latents-operand kernel variant must
+    # match the folded jnp path on identical latents before anything fused
+    # is timed or trusted (statistical E[jac] gate kept as a backstop)
+    kernel_exact = None
+    if on_tpu:
+        from nf_tpu.flows.fast_eval import make_folded_forward
+        lat_sampler = build_sampler(NF._flow, params, bn_state,
+                                    take_latents=True)
+        w_chk = jax.random.uniform(jax.random.PRNGKey(99), (1 << 14, 2),
+                                   dtype=jnp.float32)
+        x_k, j_k = jax.jit(lat_sampler)(w_chk)
+        x_r, j_r = jax.jit(make_folded_forward(NF._flow, params, bn_state))(w_chk)
+        kernel_exact = bool(
+            jnp.allclose(x_k, x_r, rtol=2e-5, atol=2e-6)
+            and jnp.allclose(j_k, j_r, rtol=2e-4))
+        assert kernel_exact, "fused kernel != folded jnp path on TPU"
+
+    # ---- accuracy at fixed neval through the production integrate()
+    # (auto-selects the fused kernel on TPU)
     neval, nitn = 100_000, 10
     sig, sig_err = NF.integrate(camel, nitn, neval, seed=123)
     exact = camel_exact()
@@ -71,38 +97,49 @@ def main():
 
     # ---- sampling throughput
     n = 1 << 21  # 2M samples per call
-    params, bn_state = NF.best_params
 
-    # fused Pallas sampler (eval mode, on-chip RNG)
+    # PRODUCTION endpoint: NF.sample (fused kernel on TPU, E[jac] gate)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    x_s, j_s = NF.sample(n, key=keys[0])
+    assert bool(jnp.isfinite(j_s).all()), "sample() jac not finite"
+    assert abs(float(j_s.mean()) - 1.0) < 0.02, (
+        f"sample() E[jac]={float(j_s.mean())} != 1")
+    endpoint_dt = time_sampler(lambda: NF.sample(n, key=keys[1]))
+    endpoint_sps = n / endpoint_dt
+
+    # PRODUCTION endpoint: NF.integrate throughput (compiled once, cached)
+    t0 = time.perf_counter()
+    NF.integrate(camel, nitn, neval, seed=5)
+    integrate_sps = (nitn * neval) / (time.perf_counter() - t0)
+
+    # raw fused Pallas sampler (kernel-only ceiling)
     pallas_sps = 0.0
     try:
-        sampler = build_sampler(NF._flow, params, bn_state)
-        jit_sampler = jax.jit(lambda seed: sampler(seed, n))
-        # correctness gate before timing: outputs must be finite, in range,
-        # and distribution-consistent with the jnp path (E[jac] == 1)
-        xs, js = jit_sampler(jnp.int32(1))
-        assert bool(jnp.isfinite(js).all()), "pallas jac not finite"
-        assert bool(((xs >= 0) & (xs <= 1)).all()), "pallas x out of range"
-        assert abs(float(js.mean()) - 1.0) < 0.02, (
-            f"pallas E[jac]={float(js.mean())} != 1")
-        dt = time_sampler(jit_sampler, jnp.int32(1))
-        pallas_sps = n / dt
+        sampler = build_sampler(NF._flow, params, bn_state,
+                                interpret=not on_tpu)
+        jit_sampler = jax.jit(lambda seed: sampler(seed, n)) if on_tpu else None
+        if on_tpu:
+            xs, js = jit_sampler(jnp.int32(1))
+            assert bool(jnp.isfinite(js).all()), "pallas jac not finite"
+            assert bool(((xs >= 0) & (xs <= 1)).all()), "pallas x out of range"
+            assert abs(float(js.mean()) - 1.0) < 0.02, (
+                f"pallas E[jac]={float(js.mean())} != 1")
+            pallas_sps = n / time_sampler(jit_sampler, jnp.int32(1))
     except Exception as e:
         print(f"# pallas sampler unavailable: {e}")
 
-    # XLA path (train-mode forward like reference integrate(), manager.py:397)
+    # XLA stateful path (the reference-parity forward, manager.py:397)
     @jax.jit
     def xla_sample(key):
         w = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
         x, jac, _ = fmodel.forward(NF._flow, params, bn_state, w, False)
         return x, jac
 
-    dt = time_sampler(xla_sample, jax.random.PRNGKey(0))
-    xla_sps = n / dt
+    xla_sps = n / time_sampler(xla_sample, jax.random.PRNGKey(0))
 
     # XLA path with BN folded into the weights (nf_tpu.flows.fast_eval)
-    from nf_tpu.flows.fast_eval import make_folded_forward
-    folded = make_folded_forward(NF._flow, params, bn_state)
+    from nf_tpu.flows.fast_eval import make_folded_forward_t
+    folded = make_folded_forward_t(NF._flow, params, bn_state)
 
     @jax.jit
     def xla_folded_sample(key):
@@ -118,9 +155,10 @@ def main():
         n_fl = 1 << 20
         flow10, p10, s10 = factory.build_pwquad_flow(
             jax.random.PRNGKey(7), 10, 8, 8, (16, 16), jnp.float32)
-        sampler10 = build_sampler(flow10, p10, s10)
-        js10 = jax.jit(lambda seed: sampler10(seed, n_fl))
-        flagship_sps = n_fl / time_sampler(js10, jnp.int32(3), reps=10)
+        if on_tpu:
+            sampler10 = build_sampler(flow10, p10, s10)
+            js10 = jax.jit(lambda seed: sampler10(seed, n_fl))
+            flagship_sps = n_fl / time_sampler(js10, jnp.int32(3), reps=10)
     except Exception as e:
         print(f"# flagship sampler unavailable: {e}")
 
@@ -141,18 +179,20 @@ def main():
     except Exception as e:
         print(f"# phase-space bench unavailable: {e}")
 
-    sps = max(pallas_sps, xla_sps, xla_folded_sps)
     print(json.dumps({
         "metric": "camel2d_flow_samples_per_sec_per_chip",
-        "value": sps,
+        "value": endpoint_sps,
         "unit": "samples/s",
-        "vs_baseline": sps / 1e7,
+        "vs_baseline": endpoint_sps / 1e7,
         "extra": {
+            "endpoint_sample_samples_per_sec": endpoint_sps,
+            "endpoint_integrate_samples_per_sec": integrate_sps,
             "pallas_samples_per_sec": pallas_sps,
             "xla_samples_per_sec": xla_sps,
             "xla_folded_samples_per_sec": xla_folded_sps,
             "flagship10d_pallas_samples_per_sec": flagship_sps,
             "phase_space_2to4_events_per_sec": ps_sps,
+            "kernel_exact_vs_jnp": kernel_exact,
             "camel2d_integral": sig,
             "camel2d_integral_err": sig_err,
             "camel2d_exact": exact,

@@ -23,7 +23,7 @@ from nf_tpu.ops.pwquad_sampler import fold_eval_params
 
 def make_folded_forward(flow, params, state, dtype=jnp.float32):
     """Build ``f(w) -> (x, jac)`` for eval-mode sampling with folded BN."""
-    folded = fold_eval_params(flow, params, state)
+    folded = fold_eval_params(flow, params, state, dtype=np.dtype(dtype))
     folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype))
                for wm, bv in layers] for layers in folded]
     cells = flow.cells
@@ -103,17 +103,19 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
     ``f(w [B, n_flow]) -> (x [B, n_flow], jac [B])`` (set
     ``transpose_out=False`` to keep the internal layout).
     """
-    folded = fold_eval_params(flow, params, state)
+    folded = fold_eval_params(flow, params, state, dtype=np.dtype(dtype))
     folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype))
                for wm, bv in layers] for layers in folded]
     cells = flow.cells
     ops = flow.ops
     n_flow = flow.n_flow
 
+    acc_t = jnp.float32 if jnp.dtype(dtype).itemsize <= 4 else dtype
+
     def mlp_t(layers, h):
         # h: [in, B]; W: [in, out] -> out = W.T @ h + b[:, None]
         for li, (wm, bv) in enumerate(layers):
-            h = jnp.dot(wm.T, h, preferred_element_type=jnp.float32
+            h = jnp.dot(wm.T, h, preferred_element_type=acc_t
                         ).astype(dtype) + bv[:, None]
             if li < len(layers) - 1:
                 h = jnp.maximum(h, 0.0)

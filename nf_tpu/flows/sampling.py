@@ -73,10 +73,20 @@ def make_sampler(flow, params, state, n, method="auto", train=False,
         from nf_tpu.ops.pwquad_sampler import build_sampler
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        sampler = build_sampler(flow, params, state, interpret=interpret)
+        if interpret:
+            # the TPU PRNG primitives don't interpret on CPU: use the
+            # latents-operand kernel variant fed by jax.random instead
+            sampler = build_sampler(flow, params, state, interpret=True,
+                                    take_latents=True)
 
-        def fn(key):
-            return sampler(key_to_seed(key), n)
+            def fn(key):
+                w = jax.random.uniform(key, (n, flow.n_flow), jnp.float32)
+                return sampler(w)
+        else:
+            sampler = build_sampler(flow, params, state, interpret=False)
+
+            def fn(key):
+                return sampler(key_to_seed(key), n)
     elif method == "folded":
         from nf_tpu.flows.fast_eval import make_folded_forward_t
         fwd = make_folded_forward_t(flow, params, state, dtype)

@@ -45,7 +45,7 @@ DEFAULT_SUB = 32  # sublane tile height; samples per grid step = sub * 128
 # Host-side parameter folding
 # ---------------------------------------------------------------------------
 
-def _fold_conditioner(params, state, eps=1e-5):
+def _fold_conditioner(params, state, eps=1e-5, dtype=np.float32):
     """Collapse eval-mode [BN] Linear [BN] chains into (W_eff, b_eff) pairs.
 
     Eval BatchNorm is affine: y = (x - m) / sqrt(v + eps) * g + b.  Folding it
@@ -73,21 +73,21 @@ def _fold_conditioner(params, state, eps=1e-5):
         s_o, t_o = bn_affine(params["bns"][i], state["bns"][i])
         w_eff = w_eff * s_o[None, :]
         b_eff = b_eff * s_o + t_o
-        layers.append((w_eff.astype(np.float32), b_eff.astype(np.float32)))
-    wf = np.asarray(params["final"]["w"]).astype(np.float32)
-    bf = np.asarray(params["final"]["b"]).astype(np.float32)
+        layers.append((w_eff.astype(dtype), b_eff.astype(dtype)))
+    wf = np.asarray(params["final"]["w"]).astype(dtype)
+    bf = np.asarray(params["final"]["b"]).astype(dtype)
     if not params["linears"]:
-        wf = s_in[:, None].astype(np.float32) * wf
-        bf = (t_in @ np.asarray(params["final"]["w"])).astype(np.float32) + bf
+        wf = (s_in[:, None] * np.asarray(params["final"]["w"])).astype(dtype)
+        bf = (t_in @ np.asarray(params["final"]["w"])).astype(dtype) + bf
     layers.append((wf, bf))
     return layers
 
 
-def fold_eval_params(flow, params, state):
+def fold_eval_params(flow, params, state, dtype=np.float32):
     """Fold all cells; returns (static_plan, flat list of weight arrays)."""
     folded = []
     for p, s in zip(params, state):
-        folded.append(_fold_conditioner(p, s))
+        folded.append(_fold_conditioner(p, s, dtype=dtype))
     return folded
 
 
@@ -251,13 +251,21 @@ def _uniform_from_bits(bits):
 # ---------------------------------------------------------------------------
 
 def build_sampler(flow, params, state, interpret: bool = False,
-                  tile_sub: int = DEFAULT_SUB):
+                  tile_sub: int = DEFAULT_SUB, take_latents: bool = False):
     """Compile a fused sampler for a (trained) PWQuad flow in eval mode.
 
     Returns ``sample(seed: int32, n: int) -> (x [n, n_flow] f32, jac [n] f32)``.
     ``n`` is rounded up to a multiple of ``tile_sub * 128`` internally and
     truncated on return.  ``tile_sub`` sets the per-grid-step tile height
     (samples per step = tile_sub * 128).
+
+    ``take_latents=True`` builds the debug/equivalence variant: instead of
+    the in-kernel PRNG, latent points come in as an operand and the
+    signature becomes ``sample(latents [n, n_flow] f32) -> (x, jac)``.
+    This variant (a) admits an *exact* on-device comparison against the jnp
+    path on identical latents (the PRNG variant can only be validated
+    statistically), and (b) runs in Pallas interpret mode on CPU, where the
+    TPU PRNG primitives are unavailable.
     """
     for c in flow.cells:
         if c.kind not in ("pwquad", "pwlin", "affine"):
@@ -282,14 +290,17 @@ def build_sampler(flow, params, state, interpret: bool = False,
     sub = tile_sub
     tile = sub * LANE
 
-    def kernel(seed_ref, *refs):
+    def kernel(src_ref, *refs):
         x_out = refs[-2]
         jac_out = refs[-1]
         weight_refs = refs[:-2]
 
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        bits = pltpu.prng_random_bits((n_flow, sub, LANE))
-        xs = [_uniform_from_bits(bits[d]) for d in range(n_flow)]
+        if take_latents:
+            xs = [src_ref[d] for d in range(n_flow)]
+        else:
+            pltpu.prng_seed(src_ref[0] + pl.program_id(0))
+            bits = pltpu.prng_random_bits((n_flow, sub, LANE))
+            xs = [_uniform_from_bits(bits[d]) for d in range(n_flow)]
         jac = jnp.ones((sub, LANE), jnp.float32)
 
         for op in ops:
@@ -340,12 +351,10 @@ def build_sampler(flow, params, state, interpret: bool = False,
             x_out[d] = xs[d]
         jac_out[0] = jac
 
-    def sample(seed, n):
-        n_tiles = -(-n // tile)
+    def _call(src_operand, src_spec, n, n_tiles):
         n_pad = n_tiles * tile
-
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        operands = [jnp.asarray([seed], jnp.int32)]
+        in_specs = [src_spec]
+        operands = [src_operand]
         for arr in flat_weights:
             a = jnp.asarray(arr)
             if a.ndim == 1:
@@ -353,10 +362,9 @@ def build_sampler(flow, params, state, interpret: bool = False,
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             operands.append(a)
 
-        grid = (n_tiles,)
         x_t, jac_t = pl.pallas_call(
             kernel,
-            grid=grid,
+            grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((n_flow, sub, LANE), lambda i: (0, i, 0),
@@ -373,6 +381,23 @@ def build_sampler(flow, params, state, interpret: bool = False,
         x = x_t.reshape(n_flow, n_pad).T[:n]
         jac = jac_t.reshape(n_pad)[:n]
         return x, jac
+
+    if take_latents:
+        def sample(latents):
+            n = latents.shape[0]
+            n_tiles = -(-n // tile)
+            n_pad = n_tiles * tile
+            lat = jnp.pad(latents.astype(jnp.float32),
+                          ((0, n_pad - n), (0, 0)), constant_values=0.5)
+            lat_t = lat.T.reshape(n_flow, n_tiles * sub, LANE)
+            spec = pl.BlockSpec((n_flow, sub, LANE), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+            return _call(lat_t, spec, n, n_tiles)
+    else:
+        def sample(seed, n):
+            n_tiles = -(-n // tile)
+            spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+            return _call(jnp.asarray([seed], jnp.int32), spec, n, n_tiles)
 
     return sample
 

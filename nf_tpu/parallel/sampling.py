@@ -58,10 +58,21 @@ def _make_local_draw(flow, params, state, n_local, method, dtype, seed):
         from nf_tpu.ops.pwquad_sampler import build_sampler
         from nf_tpu.flows.sampling import key_to_seed
         interpret = jax.default_backend() != "tpu"
-        sampler = build_sampler(flow, params, state, interpret=interpret)
+        if interpret:
+            # off-TPU the PRNG primitives don't interpret: latents-operand
+            # kernel variant with the same per-device key folding
+            sampler = build_sampler(flow, params, state, interpret=True,
+                                    take_latents=True)
 
-        def draw(key, idx):
-            return sampler(key_to_seed(key) + idx * SEED_STRIDE, n_local)
+            def draw(key, idx):
+                w = jax.random.uniform(jax.random.fold_in(key, idx),
+                                       (n_local, flow.n_flow), jnp.float32)
+                return sampler(w)
+        else:
+            sampler = build_sampler(flow, params, state, interpret=False)
+
+            def draw(key, idx):
+                return sampler(key_to_seed(key) + idx * SEED_STRIDE, n_local)
     else:
         from nf_tpu.flows.fast_eval import make_folded_forward_t
         fwd = make_folded_forward_t(flow, params, state, dtype)

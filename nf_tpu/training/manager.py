@@ -70,6 +70,7 @@ class BasicManager(ModelAPI):
         self.best_loss = None
         self.best_eval_mode = False      # see tail-integration note below
         self._mesh = None
+        self._sampler_cache = {}         # (method, n, ids) -> jitted sampler
 
     # -- plumbing ----------------------------------------------------------
 
@@ -84,12 +85,44 @@ class BasicManager(ModelAPI):
         return jax.lax.with_sharding_constraint(
             w, NamedSharding(self._mesh, P("dp")))
 
-    def sample(self, n, key=None, params=None, train=None):
+    def _resolve_method(self, method, train):
+        """Pick the sampling path for a production endpoint.
+
+        ``None`` (auto): on TPU, use the fused Pallas kernel (eval-mode map
+        — exactly unbiased; a deliberate, documented divergence from the
+        reference's train-mode-BatchNorm sampling quirk, manager.py:397)
+        unless train mode was explicitly requested; elsewhere keep the
+        reference-parity stateful forward.  Explicit 'fused' / 'folded' /
+        'reference' force a path on any backend (the fused kernel runs in
+        interpret mode off-TPU).
+        """
+        if method is not None:
+            return method
+        from nf_tpu.flows.sampling import supported_by_kernel
+        if train is not True and jax.default_backend() == "tpu" \
+                and supported_by_kernel(self._flow):
+            return "fused"
+        return "reference"
+
+    def _fast_sampler(self, n, method, params_pair):
+        from nf_tpu.flows import sampling as fsampling
+        cache_key = (method, n, id(params_pair[0]), id(params_pair[1]))
+        fn = self._sampler_cache.get(cache_key)
+        if fn is None:
+            fn = fsampling.make_sampler(
+                self._flow, params_pair[0], params_pair[1], n,
+                method=method, dtype=self.dtype)
+            self._sampler_cache[cache_key] = fn
+        return fn
+
+    def sample(self, n, key=None, params=None, train=None, method=None):
         """Draw ``n`` latent points and map them: returns ``(x, jac)``.
 
         ``train=None`` follows the reference best-model mode: batch-stats
         BatchNorm unless a tail-integration phase flipped the best model to
-        eval (reference manager.py:335,397).
+        eval (reference manager.py:335,397).  ``method`` selects the
+        sampling path (see :meth:`_resolve_method`); the default hits the
+        fused Pallas kernel on TPU.
         """
         if key is None:
             key = self._next_key()
@@ -97,6 +130,9 @@ class BasicManager(ModelAPI):
             params, bn_state = self.best_params
         else:
             params, bn_state = params
+        method = self._resolve_method(method, train)
+        if method in ("fused", "folded"):
+            return self._fast_sampler(n, method, (params, bn_state))(key)
         if train is None:
             train = not self.best_eval_mode
         w = _uniform(key, (n, self.n_flow), self.dtype)
@@ -111,8 +147,8 @@ class BasicManager(ModelAPI):
                                     dev=0, mini_batch_size=2000, integrate=False,
                                     preburn_time=75, kill_counter=7, impr_ratio=1e-2,
                                     loss_mode="var", seed=None, mesh=None,
-                                    pathwise=False, epochs_per_sync=1,
-                                    select_best_by="loss"):
+                                    pathwise=False, epochs_per_sync="auto",
+                                    select_best_by="loss", resume_from=None):
         """Train with the integrand variance as loss; Jacobian from the forward
         pass (fixed latent sample, gradient through the Jacobian only).
 
@@ -137,14 +173,29 @@ class BasicManager(ModelAPI):
         missed the tail); ESS directly measures importance-sampling quality.
         The default reproduces the reference's selection rule.
 
-        ``epochs_per_sync > 1`` fuses that many epochs into one jit-compiled
-        ``lax.scan`` step (best-model tracking stays per-epoch exact inside
-        the device step), cutting host/device round-trips by that factor.
-        Early stopping is then evaluated at chunk granularity: a mid-chunk
-        stop condition still takes effect, but up to ``epochs_per_sync - 1``
-        extra optimizer steps will already have run, and a best-model
-        snapshot may come from one of those extra epochs.  The default of 1
-        follows the reference's per-epoch cadence exactly.
+        ``epochs_per_sync`` controls host/device round-trips: ``"auto"``
+        (default) fuses epochs into jit-compiled ``lax.scan`` chunks aligned
+        to the ``check_time`` stale-check boundaries (the reference's own
+        check cadence, manager.py:317), an integer > 1 uses fixed-size
+        chunks, and 1 reproduces the reference's per-epoch cadence exactly.
+        Chunking is numerics-exact per epoch: the scan emits the running
+        best-(params, bn) prefix per epoch, so the host state machine makes
+        the same decisions and stores the same snapshots it would have made
+        per-epoch (only the PRNG key chunking and therefore the sampled
+        latents differ).  A mid-chunk early stop still takes effect at the
+        right epoch; the only cost is that the remaining epochs of that
+        chunk have already run on device (wasted FLOPs, no semantic
+        effect — ``self._params`` keeps the chunk-end value while
+        ``best_params`` is exact).
+
+        ``resume_from`` (path or dict from :meth:`save_training_state`)
+        continues a previous run *exactly*: optimizer state, PRNG key,
+        maxf, integral/error accumulators, best-model snapshot, and the
+        early-stop state machine are all restored and the initial-estimate
+        phase is skipped.  Pass the same hyper-parameters plus
+        ``epoch_start = <epochs already run>``; the reference's
+        ``epoch_start`` knob (manager.py:66) only renumbers epochs and has
+        no restore at all.
         """
         del dev
         if loss_mode not in ("var", "est", "kl"):
@@ -163,8 +214,19 @@ class BasicManager(ModelAPI):
         n_minibatches = int(batch_size / mini_batch_size)
         batch_size = batch_size - (batch_size % mini_batch_size)
 
-        integ = np.zeros(epochs + 1)
-        err = np.zeros(epochs + 1)
+        rs = None
+        epoch_offset = epoch_start
+        if resume_from is not None:
+            rs = resume_from if isinstance(resume_from, dict) \
+                else self.load_training_state(resume_from)
+            epoch_offset = int(rs["meta"]["epoch_offset"])
+        need = epoch_start + epochs - epoch_offset + 1
+        integ = np.zeros(need)
+        err = np.zeros(need)
+        if rs is not None:
+            n_old = min(len(rs["integ"]), need)
+            integ[:n_old] = np.asarray(rs["integ"])[:n_old]
+            err[:n_old] = np.asarray(rs["err"])[:n_old]
 
         # ---- PHASE A: initial estimate on raw uniform points
         # (reference manager.py:139-167)
@@ -189,34 +251,57 @@ class BasicManager(ModelAPI):
             (maxf, best_loss, best_var, integ0, err0), ws = jax.lax.scan(round_fn, init, keys)
             return maxf, best_loss, best_var, integ0, err0, ws[-1]
 
-        maxf_d, best_loss_d, best_var_d, integ0, err0, last_w = phase_a(self._next_key())
-        integ[0] = float(integ0)
-        err[0] = float(err0)
-        self.best_loss = float(best_loss_d)
-        self.best_var = float(best_var_d)
-        maxf = maxf_d  # device scalar, closed over by the jitted steps below
+        if rs is None:
+            maxf_d, best_loss_d, best_var_d, integ0, err0, last_w = \
+                phase_a(self._next_key())
+            integ[0] = float(integ0)
+            err[0] = float(err0)
+            self.best_loss = float(best_loss_d)
+            self.best_var = float(best_var_d)
+            maxf = maxf_d  # device scalar, closed over by the jitted steps
 
-        # ---- diagnostics + initial best-model snapshot
-        # (reference manager.py:170-196)
-        if save_best or log:
-            @jax.jit
-            def diagnostics(params, bn_state, w):
-                x, jacv, new_bn = fmodel.forward(flow, params, bn_state, w, True)
-                varJ = jnp.mean(jacv ** 2)
-                dkl = jnp.sum(w * (jnp.log(w) - jnp.log(x + 1e-45))) / w.shape[0]
-                return varJ, dkl, new_bn
-            varJ, dkl, self._bn_state = diagnostics(self._params, self._bn_state, last_w)
-            self.varJ = float(varJ)
-            self.DKL = float(dkl)
-            self.best_params = (self._params, self._bn_state)
-            self.best_epoch = 0
-            self.best_time = 0
-            self.best_loss_rel = 1.0
-            self.best_func_count = 2 * batch_size * n_flow
-            self.history = []
-        if run is not None and log:
-            run.log_scalar("training.int_loss", self.best_loss, 0)
-        self.int_loss = self.best_loss
+            # ---- diagnostics + initial best-model snapshot
+            # (reference manager.py:170-196)
+            if save_best or log:
+                @jax.jit
+                def diagnostics(params, bn_state, w):
+                    x, jacv, new_bn = fmodel.forward(flow, params, bn_state, w, True)
+                    varJ = jnp.mean(jacv ** 2)
+                    # torch KLDivLoss default 'mean' divides by numel
+                    # (reference manager.py:147,183): B * n_flow
+                    dkl = jnp.sum(w * (jnp.log(w) - jnp.log(x + 1e-45))) / w.size
+                    return varJ, dkl, new_bn
+                varJ, dkl, self._bn_state = diagnostics(self._params, self._bn_state, last_w)
+                self.varJ = float(varJ)
+                self.DKL = float(dkl)
+                self.best_params = (self._params, self._bn_state)
+                self.best_epoch = 0
+                self.best_time = 0
+                self.best_loss_rel = 1.0
+                self.best_func_count = 2 * batch_size * n_flow
+                self.history = []
+            if run is not None and log:
+                run.log_scalar("training.int_loss", self.best_loss, 0)
+            self.int_loss = self.best_loss
+        else:
+            # ---- exact resume: skip phase A, restore everything
+            meta = rs["meta"]
+            tree_j = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+            self._params = tree_j(rs["params"])
+            self._bn_state = tree_j(rs["bn_state"])
+            self.best_params = (tree_j(rs["best_params"]), tree_j(rs["best_bn"]))
+            self._key = jnp.asarray(rs["key"])
+            maxf = jnp.asarray(rs["maxf"], dtype)
+            self.best_loss = meta["best_loss"]
+            self.best_var = meta["best_var"]
+            self.int_loss = meta["int_loss"]
+            self.varJ = meta.get("varJ")
+            self.DKL = meta.get("DKL")
+            self.best_epoch = meta["best_epoch"]
+            self.best_time = meta.get("best_time", 0.0)
+            self.best_loss_rel = meta["best_loss_rel"]
+            self.best_func_count = meta["best_func_count"]
+            self.history = list(meta["history"])
 
         # ---- jitted epoch step (reference manager.py:212-280)
         optimizer = optimizer_object
@@ -290,25 +375,26 @@ class BasicManager(ModelAPI):
         @partial(jax.jit, static_argnames=("k",))
         def chunk_step(params, bn_state, opt_state, best_metric_d, best_pb, key, k):
             def body(carry, ek):
-                params, bn, opt, b_metric, b_pb, b_var = carry
+                params, bn, opt, b_metric, b_pb = carry
                 params, bn, opt, loss, var, ii, ei, ess = epoch_body_normal(
                     params, bn, opt, ek)
                 improved = (ess > b_metric) if by_ess else (loss < b_metric)
                 b_metric = jnp.where(improved, ess if by_ess else loss, b_metric)
-                b_var = jnp.where(improved, var, b_var)
                 b_pb = jax.tree.map(
                     lambda old, new: jnp.where(improved, new, old),
                     b_pb, (params, bn))
-                return (params, bn, opt, b_metric, b_pb, b_var), \
-                    (loss, var, ii, ei, ess)
+                # emit the per-epoch best-prefix so a mid-chunk host stop can
+                # recover the exact snapshot the per-epoch path would have
+                return (params, bn, opt, b_metric, b_pb), \
+                    (loss, var, ii, ei, ess, b_pb)
             keys = jax.random.split(key, k)
-            init = (params, bn_state, opt_state, best_metric_d, best_pb,
-                    jnp.zeros((), dtype))
+            init = (params, bn_state, opt_state, best_metric_d, best_pb)
             carry, outs = jax.lax.scan(body, init, keys)
             return carry, outs
 
         params, bn_state = self._params, self._bn_state
-        opt_state = optimizer.init(params)
+        opt_state = optimizer.init(params) if rs is None \
+            else jax.tree.map(jnp.asarray, rs["opt_state"])
 
         # ---- host-side epoch loop with the early-stop state machine
         # (reference manager.py:212-327)
@@ -336,14 +422,17 @@ class BasicManager(ModelAPI):
               "counter": counter, "last_loss": last_loss}
 
         self.best_ess = -float("inf")
+        if rs is not None:
+            sm = dict(rs["meta"]["sm"])
+            self.best_ess = rs["meta"].get("best_ess", -float("inf"))
 
         def process_epoch(i, loss, var_val, integ_e, err_e, ess, snapshot):
             """Host state machine for one finished epoch (reference
             manager.py:282-327).  ``snapshot()`` returns the post-update
             (params, bn_state) to store on improvement.  Returns True to
             stop training."""
-            integ[i - epoch_start + 1] += integ_e
-            err[i - epoch_start + 1] += err_e
+            integ[i - epoch_offset + 1] += integ_e
+            err[i - epoch_offset + 1] += err_e
             if save_best or log:
                 self.history.append(loss)
                 self.best_func_count += batch_size
@@ -391,10 +480,18 @@ class BasicManager(ModelAPI):
                 sm["preburner"] = False
             return False
 
+        auto_sync = epochs_per_sync == "auto"
+
+        def _auto_chunk(a):
+            """Epochs until (and including) the next check_time boundary, so
+            the host stale-check runs exactly when the per-epoch path would."""
+            b = ((a + check_time - 1) // check_time) * check_time
+            return max(b - a + 1, 1) if b >= a else 1
+
         next_i = epoch_start
         i = epoch_start - 1
         while next_i < epochs_end and not stop:
-            if sm["preburner"] or epochs_per_sync <= 1:
+            if sm["preburner"] or (not auto_sync and int(epochs_per_sync) <= 1):
                 i = next_i
                 next_i += 1
                 step = epoch_step_preburn if sm["preburner"] else epoch_step_normal
@@ -405,15 +502,16 @@ class BasicManager(ModelAPI):
                                      float(integ_e), float(err_e), float(ess_d),
                                      lambda: (p_now, bn_now))
             else:
-                k = min(int(epochs_per_sync), epochs_end - next_i)
+                k = _auto_chunk(next_i) if auto_sync else int(epochs_per_sync)
+                k = min(k, epochs_end - next_i)
                 best_metric_d = jnp.asarray(
                     self.best_ess if by_ess else self.best_loss, dtype)
                 if by_ess and not np.isfinite(float(best_metric_d)):
                     best_metric_d = jnp.asarray(-1.0, dtype)
                 best_pb = self.best_params if self.best_params is not None \
                     else (params, bn_state)
-                (params, bn_state, opt_state, _, chunk_pb, _), \
-                    (losses, variances, iis, eis, esses) = chunk_step(
+                (params, bn_state, opt_state, _, _), \
+                    (losses, variances, iis, eis, esses, pb_prefix) = chunk_step(
                         params, bn_state, opt_state, best_metric_d, best_pb,
                         self._next_key(), k=k)
                 losses = np.asarray(losses)
@@ -424,21 +522,29 @@ class BasicManager(ModelAPI):
                 for j in range(k):
                     i = next_i
                     next_i += 1
-                    stop = process_epoch(i, float(losses[j]), float(variances[j]),
-                                         float(iis[j]), float(eis[j]),
-                                         float(esses[j]), lambda: chunk_pb)
+                    stop = process_epoch(
+                        i, float(losses[j]), float(variances[j]),
+                        float(iis[j]), float(eis[j]), float(esses[j]),
+                        lambda j=j: jax.tree.map(lambda a: a[j], pb_prefix))
                     if stop:
                         break
 
         if pbar is not None:
             pbar.close()
         self._params, self._bn_state = params, bn_state
+        # full resumable training state (see save_training_state)
+        self._opt_state = opt_state
+        self._maxf = maxf
+        self._epoch_offset = epoch_offset
+        self._last_epoch = i
+        self._sm_state = dict(sm)
 
         # ---- PHASE C: tail integration with the best model in eval mode
         # (reference manager.py:332-346; note the reference's asymmetric
         # integ/sqrt(mini_batch) + std scaling, replicated exactly)
-        endpoint = i - epoch_start + 1  # relative epoch count actually run
-        if integrate and endpoint < epochs - 1:
+        endpoint = i - epoch_offset + 1  # epochs actually run since offset
+        total = epochs_end - epoch_offset  # total epochs the arrays span
+        if integrate and endpoint < total - 1:
             b_params, b_bn = self.best_params
             self.best_eval_mode = True  # reference flips best_model to eval
 
@@ -454,7 +560,7 @@ class BasicManager(ModelAPI):
                 return (jnp.mean(means) / math.sqrt(mini_batch_size),
                         jnp.mean(stds))
 
-            for s in range(endpoint, epochs):
+            for s in range(endpoint, total):
                 ie, ee = tail_epoch(self._next_key())
                 integ[s + 1] += float(ie)
                 err[s + 1] += float(ee)
@@ -482,7 +588,8 @@ class BasicManager(ModelAPI):
 
     # -- post-training integrator (reference manager.py:380-405) ------------
 
-    def integrate(self, f, nitn, neval, dev=None, seed=None, combine="iw"):
+    def integrate(self, f, nitn, neval, dev=None, seed=None, combine="iw",
+                  method=None):
         """Post-training MC estimate (reference manager.py:380-405).
 
         ``combine="iw"`` (default) is the reference's inverse-variance
@@ -492,6 +599,11 @@ class BasicManager(ModelAPI):
         the combination LOW — measured at 5 sigma on a Z-resonance target.
         ``combine="mean"`` pools all samples into an unbiased plain mean
         with the exact standard error.
+
+        ``method`` selects the sampling path (see :meth:`_resolve_method`):
+        the default runs the fused Pallas kernel on TPU (eval-mode map,
+        exactly unbiased) and the reference-parity stateful forward
+        elsewhere.
         """
         if self.best_params is None:
             print("No model has been trained")
@@ -504,26 +616,44 @@ class BasicManager(ModelAPI):
         flow = self._flow
         train_mode = not self.best_eval_mode  # reference never calls .eval()
         n_flow, dtype = self.n_flow, self.dtype
+        method = self._resolve_method(method, None)
 
-        @jax.jit
-        def run_all(key):
-            def itn(_, k):
-                w = self._shard_batch(_uniform(k, (neval, n_flow), dtype))
-                x, jacv, _ = fmodel.forward(flow, params, bn_state, w, train_mode)
-                fres = f(x) * jacv
-                return None, (jnp.mean(fres), _var(fres))
-            keys = jax.random.split(key, nitn)
-            _, (means, variances) = jax.lax.scan(itn, None, keys)
-            if combine == "mean":
-                sig = jnp.mean(means)
-                # pooled variance of the grand mean (within-iteration only;
-                # iterations are iid so this is exact up to ddof detail)
-                sig_err = jnp.sqrt(jnp.mean(variances) / (neval * nitn))
+        cache_key = ("integrate", id(f), nitn, neval, method, combine,
+                     id(params), id(bn_state), train_mode)
+        run_all = self._sampler_cache.get(cache_key)
+        if run_all is None:
+            if method in ("fused", "folded"):
+                from nf_tpu.flows import sampling as fsampling
+                draw = fsampling.make_sampler(flow, params, bn_state, neval,
+                                              method=method, dtype=dtype,
+                                              jit=False)
             else:
-                sig = jnp.sum(means / variances) / jnp.sum(1.0 / variances)
-                sig_err = jnp.sqrt(1.0 / jnp.sum(1.0 / variances)) \
-                    / math.sqrt(neval * nitn)
-            return sig, sig_err
+                def draw(k):
+                    w = self._shard_batch(_uniform(k, (neval, n_flow), dtype))
+                    x, jacv, _ = fmodel.forward(flow, params, bn_state, w,
+                                                train_mode)
+                    return x, jacv
+
+            @jax.jit
+            def run_all(key):
+                def itn(_, k):
+                    x, jacv = draw(k)
+                    fres = f(x) * jacv
+                    return None, (jnp.mean(fres), _var(fres))
+                keys = jax.random.split(key, nitn)
+                _, (means, variances) = jax.lax.scan(itn, None, keys)
+                if combine == "mean":
+                    sig = jnp.mean(means)
+                    # pooled variance of the grand mean (within-iteration
+                    # only; iterations are iid so this is exact up to ddof)
+                    sig_err = jnp.sqrt(jnp.mean(variances) / (neval * nitn))
+                else:
+                    sig = jnp.sum(means / variances) / jnp.sum(1.0 / variances)
+                    sig_err = jnp.sqrt(1.0 / jnp.sum(1.0 / variances)) \
+                        / math.sqrt(neval * nitn)
+                return sig, sig_err
+
+            self._sampler_cache[cache_key] = run_all
 
         sig, sig_err = run_all(key)
         return (float(sig), float(sig_err))
@@ -551,6 +681,58 @@ class BasicManager(ModelAPI):
             })
         except Exception as e:  # pragma: no cover - mirrors reference guard
             print(f"Checkpoint save not possible: {e}")
+
+    def save_training_state(self, path):
+        """Persist the FULL training state for exact resume.
+
+        Unlike :meth:`_save_checkpoint` (best params + metadata only, the
+        reference's torch.save shape, manager.py:358-369) this captures
+        optimizer state, the PRNG key, maxf, the per-epoch integral/error
+        accumulators, and the early-stop state machine, so
+        ``_train_variance_forward_seq(..., resume_from=path,
+        epoch_start=<epochs already run>)`` continues bit-for-bit.
+        Pickle format (like torch.save); load only files you wrote.
+        """
+        import pickle
+
+        def to_np(t):
+            return jax.tree.map(np.asarray, t)
+
+        state = {
+            "params": to_np(self._params),
+            "bn_state": to_np(self._bn_state),
+            "best_params": to_np(self.best_params[0]),
+            "best_bn": to_np(self.best_params[1]),
+            "opt_state": to_np(self._opt_state),
+            "key": np.asarray(self._key),
+            "maxf": np.asarray(self._maxf),
+            "integ": np.asarray(self._integ_hist),
+            "err": np.asarray(self._err_hist),
+            "meta": {
+                "best_loss": float(self.best_loss),
+                "best_var": float(self.best_var),
+                "best_ess": float(self.best_ess),
+                "int_loss": float(self.int_loss),
+                "best_loss_rel": float(self.best_loss_rel),
+                "best_epoch": int(self.best_epoch),
+                "best_time": float(getattr(self, "best_time", 0.0)),
+                "best_func_count": float(self.best_func_count),
+                "history": [float(h) for h in self.history],
+                "varJ": getattr(self, "varJ", None),
+                "DKL": getattr(self, "DKL", None),
+                "sm": dict(self._sm_state),
+                "last_epoch": int(self._last_epoch),
+                "epoch_offset": int(self._epoch_offset),
+            },
+        }
+        with open(path, "wb") as fh:
+            pickle.dump(state, fh)
+
+    def load_training_state(self, path):
+        """Load a :meth:`save_training_state` dict (pass to resume_from)."""
+        import pickle
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
 
     def load_checkpoint(self, path):
         """Restore best params (the reference has no restore at all)."""

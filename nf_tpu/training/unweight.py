@@ -21,8 +21,23 @@ import jax.numpy as jnp
 from nf_tpu.flows import model as fmodel
 
 
+def _make_draw(flow, params, state, n, train, method):
+    """Proposal sampler ``draw(key) -> (x, jac)``; ``method=None`` keeps the
+    stateful forward, 'auto'/'fused'/'folded' use nf_tpu.flows.sampling
+    (the fused Pallas kernel on TPU — the production throughput path)."""
+    if method is None:
+        def draw(k):
+            w = jax.random.uniform(k, (n, flow.n_flow))
+            x, jacv, _ = fmodel.forward(flow, params, state, w, train)
+            return x, jacv
+        return draw
+    from nf_tpu.flows import sampling as fsampling
+    return fsampling.make_sampler(flow, params, state, n, method=method,
+                                  train=train, jit=False)
+
+
 def estimate_wmax(flow, params, state, f, key, n=100_000, train=False,
-                  safety=1.0, quantile=1.0):
+                  safety=1.0, quantile=1.0, method=None):
     """Estimate the reference maximum weight over ``n`` fresh samples.
 
     ``quantile < 1`` uses that weight quantile instead of the strict max —
@@ -30,8 +45,7 @@ def estimate_wmax(flow, params, state, f, key, n=100_000, train=False,
     spike would crater the acceptance rate; the few over-weight events are
     kept and counted by the unweighter.
     """
-    w = jax.random.uniform(key, (n, flow.n_flow))
-    x, jacv, _ = fmodel.forward(flow, params, state, w, train)
+    x, jacv = _make_draw(flow, params, state, n, train, method)(key)
     weights = f(x) * jacv
     if quantile >= 1.0:
         ref = jnp.max(weights)
@@ -41,7 +55,7 @@ def estimate_wmax(flow, params, state, f, key, n=100_000, train=False,
 
 
 def unweighted_batch(flow, params, state, f, key, n_proposals, w_max,
-                     train=False):
+                     train=False, draw=None):
     """One accept-reject pass.
 
     Returns ``(x, accept_mask, n_overweight)``: proposals ``x``
@@ -50,31 +64,42 @@ def unweighted_batch(flow, params, state, f, key, n_proposals, w_max,
     this is a meaningful fraction).
     """
     k_w, k_u = jax.random.split(key)
-    w = jax.random.uniform(k_w, (n_proposals, flow.n_flow))
-    x, jacv, _ = fmodel.forward(flow, params, state, w, train)
+    if draw is None:
+        draw = _make_draw(flow, params, state, n_proposals, train, None)
+    x, jacv = draw(k_w)
     weights = f(x) * jacv
-    u = jax.random.uniform(k_u, (n_proposals,))
+    u = jax.random.uniform(k_u, (n_proposals,), dtype=weights.dtype)
     accept = weights > u * w_max
     return x, accept, jnp.sum(weights > w_max)
 
 
 def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
                         train=False, batch=1 << 17, max_batches=1000,
-                        wmax_quantile=1.0):
+                        wmax_quantile=1.0, method="auto"):
     """Generate at least ``n_events`` unweighted events (host-driven loop).
 
     Returns ``(events [>=n_events, n_flow], efficiency, n_overweight)``.
     Stops after ``max_batches`` proposal batches even if short.
+    ``method="auto"`` draws proposals through the fused Pallas kernel on
+    TPU (eval-mode map) and the stateful forward elsewhere; pass ``None``
+    to force the stateful reference-parity path.
     """
     import numpy as np
+
+    if method == "auto":
+        from nf_tpu.flows.sampling import supported_by_kernel
+        method = "fused" if (not train and jax.default_backend() == "tpu"
+                             and supported_by_kernel(flow)) else None
 
     if w_max is None:
         key, sub = jax.random.split(key)
         w_max = estimate_wmax(flow, params, state, f, sub, safety=1.05,
-                              quantile=wmax_quantile)
+                              quantile=wmax_quantile, method=method)
 
+    draw = _make_draw(flow, params, state, batch, train, method)
     step = jax.jit(partial(unweighted_batch, flow, params, state, f,
-                           n_proposals=batch, w_max=w_max, train=train))
+                           n_proposals=batch, w_max=w_max, train=train,
+                           draw=draw))
     out, n_acc, n_prop, n_over = [], 0, 0, 0
     for _ in range(max_batches):
         key, sub = jax.random.split(key)

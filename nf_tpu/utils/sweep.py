@@ -3,10 +3,15 @@
 The reference runs its workers by hand-spawning ``multiprocessing``
 processes that push result tuples to a shared queue (reference
 experiment_mg.py:85-87).  On a TPU host, separate processes cannot share
-the accelerator, so the idiomatic equivalent is sequential (or
-thread-pooled CPU) execution of the same workers with the same queue
-protocol — this driver provides that while keeping the reference's
-para-dict/queue-tuple contract.
+the accelerator, so the idiomatic equivalent keeps the same
+para-dict/queue-tuple contract with two execution modes:
+
+  * sequential (default) — safe for TPU-bound NIS workers, which must not
+    contend for the chip;
+  * ``mode="thread"`` — a thread pool for CPU-bound workers (e.g. the
+    VEGAS baseline ``prov``, whose hot loops are numpy and release the
+    GIL), recovering the reference's fan-out for the baseline half of a
+    comparison sweep.
 """
 
 from __future__ import annotations
@@ -21,23 +26,39 @@ RESULT_FIELDS = (
 )
 
 
-def run_sweep(paras, worker=None, workers=None):
+def run_sweep(paras, worker=None, workers=None, mode="sequential",
+              max_workers=None):
     """Run workers over a list of para dicts; returns a list of result dicts.
 
     ``paras``: list of parameter dicts (reference experiment_mg.py:15-30
     schema, minus ``q`` which is injected).  ``worker``: callable taking the
     para dict (default: the NIS worker ``pro``); per-para override via
-    ``para['worker']``.  Results are decoded from the queue tuples into
-    dicts keyed by RESULT_FIELDS.
+    ``para['worker']``.  ``mode``: "sequential" or "thread"
+    (``max_workers`` bounds the pool; default = number of paras).  Results
+    are decoded from the queue tuples into dicts keyed by RESULT_FIELDS, in
+    completion order.
     """
     from nf_tpu.utils.experiment import pro
 
     q: queue.Queue = queue.Queue()
+    jobs = []
     for para in paras:
         p = dict(para)
         p["q"] = q
         w = p.pop("worker", worker) or pro
-        w(p)
+        jobs.append((w, p))
+
+    if mode == "thread":
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max_workers or len(jobs)) as ex:
+            futures = [ex.submit(w, p) for w, p in jobs]
+            for fut in futures:
+                fut.result()  # propagate worker exceptions
+    elif mode == "sequential":
+        for w, p in jobs:
+            w(p)
+    else:
+        raise ValueError(f"unknown sweep mode {mode!r}")
 
     results = []
     while not q.empty():

@@ -1,0 +1,79 @@
+"""Exact training resume: stop-at-epoch-k + resume must reproduce the
+uninterrupted run (optimizer state, PRNG key, maxf, accumulators, and the
+early-stop state machine all restored — VERDICT r1 item 7; the reference
+has epoch_start renumbering but no restore, reference manager.py:66)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nf_tpu import PWQuadManager
+from nf_tpu.training import optimizers
+
+
+def camel(x):
+    return (jnp.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.04)
+            + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
+
+
+ARGS = dict(log=False, batch_size=600, pretty_progressbar=False,
+            mini_batch_size=600, integrate=False, preburn_time=0,
+            kill_counter=1000, epochs_per_sync=1)
+
+
+def _fresh():
+    NF = PWQuadManager(n_flow=2, seed=7)
+    NF.create_model(2, 4, [4] * 2)
+    return NF
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    # A: uninterrupted 16 epochs
+    NF_a = _fresh()
+    NF_a._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                     epochs=16, **ARGS)
+
+    # B: 8 epochs, save, new manager, resume for 8 more
+    NF_b = _fresh()
+    NF_b._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                     epochs=8, **ARGS)
+    path = str(tmp_path / "train_state.pkl")
+    NF_b.save_training_state(path)
+
+    NF_c = _fresh()  # same construction (keys consumed identically)...
+    NF_c._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                     epochs=8, epoch_start=8,
+                                     resume_from=path, **ARGS)
+
+    assert len(NF_c.history) == 16
+    np.testing.assert_allclose(NF_c.history, NF_a.history, rtol=1e-12)
+    np.testing.assert_allclose(NF_c._integ_hist, NF_a._integ_hist, rtol=1e-12)
+    np.testing.assert_allclose(NF_c._err_hist, NF_a._err_hist, rtol=1e-12)
+    np.testing.assert_allclose(NF_c.integ_tot, NF_a.integ_tot, rtol=1e-12)
+    np.testing.assert_allclose(NF_c.err_tot, NF_a.err_tot, rtol=1e-12)
+    assert NF_c.best_epoch == NF_a.best_epoch
+    np.testing.assert_allclose(NF_c.best_loss, NF_a.best_loss, rtol=1e-12)
+
+    # best-model snapshots identical leaf-by-leaf
+    import jax
+    for la, lc in zip(jax.tree.leaves(NF_a.best_params),
+                      jax.tree.leaves(NF_c.best_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lc), rtol=1e-12)
+
+    # ...and the final (non-best) params too: optimizer state was restored
+    for la, lc in zip(jax.tree.leaves(NF_a._params),
+                      jax.tree.leaves(NF_c._params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lc), rtol=1e-12)
+
+
+def test_resume_dict_roundtrip(tmp_path):
+    NF = _fresh()
+    NF._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                   epochs=4, **ARGS)
+    path = str(tmp_path / "s.pkl")
+    NF.save_training_state(path)
+    state = NF.load_training_state(path)
+    assert state["meta"]["epoch_offset"] == 0
+    assert state["meta"]["last_epoch"] == 3
+    assert len(state["meta"]["history"]) == 4
+    assert state["integ"].shape == (5,)

@@ -19,10 +19,14 @@ def test_unweighted_events_follow_target_density():
     NF = PWQuadManager(n_flow=2, seed=0)
     NF.create_model(2, 6, [8] * 2)
     opt = optimizers.adamax(5e-3)
+    # select_best_by="ess": for unweighting, snapshot by effective-sample
+    # fraction — min-loss selection occasionally picks a fluke epoch whose
+    # map has a weight spike (observed: eff 0.02 on an unlucky RNG stream
+    # where ESS selection gives 0.26 from the same run)
     NF._train_variance_forward_seq(
         camel, opt, log=False, batch_size=4000, epochs=50,
         pretty_progressbar=False, mini_batch_size=2000, integrate=False,
-        preburn_time=0)
+        preburn_time=0, select_best_by="ess")
     params, bn = NF.best_params
 
     events, eff, n_over = generate_unweighted(
@@ -41,8 +45,15 @@ def test_unweighted_events_follow_target_density():
     frac1 = (d1 < d2).mean()
     assert 0.35 < frac1 < 0.65
 
-    # trained flow should beat uniform proposals (uniform efficiency for
-    # the camel is mean/max ~ 0.23/2 ~ 0.116); 50 epochs reaches ~0.16
+    # trained flow must beat uniform proposals, both on the robust
+    # importance-sampling metric (variance of the weighted integrand vs
+    # plain uniform sampling) and on accept-reject efficiency (uniform
+    # efficiency for the camel is mean/max ~ 0.23/2 ~ 0.116)
+    x, jac = NF.sample(50_000, key=jax.random.PRNGKey(3), method="folded")
+    w_is = np.asarray(camel(x) * jac)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (50_000, 2), x.dtype)
+    w_uni = np.asarray(camel(u))
+    assert w_is.var() < 0.5 * w_uni.var()
     assert eff > 0.13
 
 

@@ -175,3 +175,34 @@ def test_profiling_benchmark_and_timer():
     with Timer() as t:
         t.block_on(f(x))
     assert t.seconds > 0
+
+
+def test_run_sweep_thread_pool(tmp_path):
+    """mode='thread' fans CPU-bound VEGAS baseline workers out over a pool
+    (the reference's multiprocessing fan-out, experiment_mg.py:85-87) and
+    collects the same queue tuples."""
+    from nf_tpu.utils.sweep import run_sweep
+    from nf_tpu.utils.experiment import prov
+
+    base = {
+        "n_flow": 2, "n_bins": 4, "NN_width": 4, "NN_length": 2,
+        "dev": 0, "lr": 2e-3, "weight_decay": 1e-4, "var_n": 1000,
+        "batch_size": 400, "pt": 0, "f": gauss2,
+        "logdir": str(tmp_path), "log": False, "seed": 0,
+    }
+    results = run_sweep(
+        [dict(base, id=i, worker=prov) for i in range(3)],
+        mode="thread", max_workers=3)
+    assert len(results) == 3
+    assert sorted(r["id"] for r in results) == [0, 1, 2]
+    exact = gauss2_exact()
+    for r in results:
+        assert r["method"] == "VEGAS"
+        assert abs(r["sigma_pb"] * 2.56819e-9 - exact) < 0.1 * exact
+
+
+def test_run_sweep_rejects_unknown_mode():
+    from nf_tpu.utils.sweep import run_sweep
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run_sweep([], mode="fork")
