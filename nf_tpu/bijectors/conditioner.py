@@ -70,13 +70,19 @@ def apply(params, state, x, train: bool, axis_name=None):
     acc_t = jnp.float32 if x.dtype in (jnp.float32, jnp.bfloat16) else x.dtype
     new_state = {"bn_in": None, "bns": []}
     h, new_state["bn_in"] = batchnorm.apply(params["bn_in"], state["bn_in"], x, train, axis_name)
+    # HIGHEST: TPU f32 matmuls otherwise run as bf16 MXU passes; the ~1e-3
+    # error shifts conditioner outputs enough to matter through sharp
+    # trained CDFs (and would break kernel-vs-jnp exactness)
+    prec = jax.lax.Precision.HIGHEST
     for lin, bn_p, bn_s in zip(params["linears"], params["bns"], state["bns"]):
-        h = jnp.dot(h, lin["w"], preferred_element_type=acc_t).astype(x.dtype)
+        h = jnp.dot(h, lin["w"], preferred_element_type=acc_t,
+                    precision=prec).astype(x.dtype)
         if "b" in lin:
             h = h + lin["b"]
         h, s = batchnorm.apply(bn_p, bn_s, h, train, axis_name)
         new_state["bns"].append(s)
         h = jax.nn.relu(h)
-    out = jnp.dot(h, params["final"]["w"], preferred_element_type=acc_t).astype(x.dtype)
+    out = jnp.dot(h, params["final"]["w"], preferred_element_type=acc_t,
+                  precision=prec).astype(x.dtype)
     out = out + params["final"]["b"]
     return out, new_state

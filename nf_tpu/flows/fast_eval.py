@@ -15,6 +15,7 @@ import math
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from nf_tpu.bijectors import coupling
@@ -32,7 +33,10 @@ def make_folded_forward(flow, params, state, dtype=jnp.float32):
 
     def mlp(layers, h):
         for li, (wm, bv) in enumerate(layers):
-            h = h @ wm + bv
+            # HIGHEST: TPU f32 matmuls default to bf16 MXU passes, whose
+            # ~1e-3 error is amplified through trained sharp CDFs (measured
+            # y diffs up to 0.08 vs the exact-f32 Pallas kernel)
+            h = jnp.dot(h, wm, precision=jax.lax.Precision.HIGHEST) + bv
             if li < len(layers) - 1:
                 h = jnp.maximum(h, 0.0)
         return h
@@ -114,8 +118,10 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
 
     def mlp_t(layers, h):
         # h: [in, B]; W: [in, out] -> out = W.T @ h + b[:, None]
+        # HIGHEST precision: see make_folded_forward.mlp
         for li, (wm, bv) in enumerate(layers):
-            h = jnp.dot(wm.T, h, preferred_element_type=acc_t
+            h = jnp.dot(wm.T, h, preferred_element_type=acc_t,
+                        precision=jax.lax.Precision.HIGHEST
                         ).astype(dtype) + bv[:, None]
             if li < len(layers) - 1:
                 h = jnp.maximum(h, 0.0)

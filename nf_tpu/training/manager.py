@@ -174,10 +174,14 @@ class BasicManager(ModelAPI):
         The default reproduces the reference's selection rule.
 
         ``epochs_per_sync`` controls host/device round-trips: ``"auto"``
-        (default) fuses epochs into jit-compiled ``lax.scan`` chunks aligned
-        to the ``check_time`` stale-check boundaries (the reference's own
-        check cadence, manager.py:317), an integer > 1 uses fixed-size
-        chunks, and 1 reproduces the reference's per-epoch cadence exactly.
+        (default) fuses ``check_time`` epochs (the reference's own check
+        cadence, manager.py:317) into one jit-compiled ``lax.scan`` chunk —
+        a single compiled graph serves every chunk of the run (tail epochs
+        are masked on device) and the preburn->normal transition runs
+        on-device, replicating the reference state machine exactly (the
+        host re-runs it for bookkeeping and asserts consistency).  An
+        integer > 1 uses that chunk size; 1 reproduces the reference's
+        per-epoch cadence exactly.
         Chunking is numerics-exact per epoch: the scan emits the running
         best-(params, bn) prefix per epoch, so the host state machine makes
         the same decisions and stores the same snapshots it would have made
@@ -369,27 +373,74 @@ class BasicManager(ModelAPI):
         epoch_step_normal = jax.jit(epoch_body_normal)
 
         # chunked multi-epoch step: scan epochs_per_sync epochs in one jit
-        # call, tracking the in-chunk best (params, bn) per epoch on device
+        # call.  The ENTIRE per-epoch state machine that selects which loss
+        # runs (preburn vs normal, reference manager.py:307-327) is
+        # replicated on device, so chunking covers the preburn phase too and
+        # the host only syncs once per chunk.  The host re-runs the same
+        # machine from the per-epoch outputs for bookkeeping (and the two
+        # are asserted consistent per epoch).  Per-epoch best-(params, bn)
+        # prefixes are emitted so a mid-chunk early stop recovers the exact
+        # snapshot the per-epoch path would have stored.
         by_ess = select_best_by == "ess"
+        int_loss_d = jnp.asarray(self.int_loss, dtype)
 
         @partial(jax.jit, static_argnames=("k",))
-        def chunk_step(params, bn_state, opt_state, best_metric_d, best_pb, key, k):
-            def body(carry, ek):
-                params, bn, opt, b_metric, b_pb = carry
-                params, bn, opt, loss, var, ii, ei, ess = epoch_body_normal(
+        def chunk_step(params, bn_state, opt_state, best_metric_d, best_pb,
+                       sm_preburner, sm_counter, sm_last_loss, key, i0,
+                       end_d, k):
+            """One fixed-size chunk of k epochs; epochs with global index
+            >= end_d are masked to no-ops, so a single compiled graph serves
+            every chunk of a run (end_d is a traced scalar, k is static)."""
+            def run_epoch(carry, ek, i_g):
+                params, bn, opt, b_metric, b_pb, pre, counter, last_loss, \
+                    killed = carry
+                pre_in = pre  # state at epoch start, for host consistency
+                params, bn, opt, loss, var, ii, ei, ess = jax.lax.cond(
+                    pre, epoch_body_preburn, epoch_body_normal,
                     params, bn, opt, ek)
-                improved = (ess > b_metric) if by_ess else (loss < b_metric)
-                b_metric = jnp.where(improved, ess if by_ess else loss, b_metric)
+                # best update (host: improved and not preburner)
+                improved = jnp.logical_and(
+                    jnp.logical_and(~pre, ~killed),
+                    (ess > b_metric) if by_ess else (loss < b_metric))
+                b_metric = jnp.where(improved, ess if by_ess else loss,
+                                     b_metric)
                 b_pb = jax.tree.map(
                     lambda old, new: jnp.where(improved, new, old),
                     b_pb, (params, bn))
-                # emit the per-epoch best-prefix so a mid-chunk host stop can
-                # recover the exact snapshot the per-epoch path would have
-                return (params, bn, opt, b_metric, b_pb), \
-                    (loss, var, ii, ei, ess, b_pb)
+                # kill counter (reference manager.py:307-316)
+                counter = jnp.where(loss < last_loss, 0, counter + 1)
+                overflow = counter > kill_counter
+                end_pre_kill = jnp.logical_and(overflow, pre)
+                killed = jnp.logical_or(killed,
+                                        jnp.logical_and(overflow, ~pre))
+                counter = jnp.where(end_pre_kill, 0, counter)
+                pre = jnp.logical_and(pre, ~end_pre_kill)
+                last_loss = loss
+                # preburn exit (reference manager.py:325-327); best_loss is
+                # still the phase-A int_loss while preburning
+                pre = jnp.logical_and(
+                    pre, ~jnp.logical_or(loss < 0.25 * int_loss_d,
+                                         i_g > preburn_time))
+                return (params, bn, opt, b_metric, b_pb, pre, counter,
+                        last_loss, killed), \
+                    (loss, var, ii, ei, ess, b_pb, pre_in)
+
+            def skip_epoch(carry, ek, i_g):
+                del ek, i_g
+                z = jnp.zeros((), dtype)
+                return carry, (z, z, z, z, z, carry[4], carry[5])
+
+            def body(carry, xs):
+                ek, i_g = xs
+                return jax.lax.cond(i_g < end_d, run_epoch, skip_epoch,
+                                    carry, ek, i_g)
+
             keys = jax.random.split(key, k)
-            init = (params, bn_state, opt_state, best_metric_d, best_pb)
-            carry, outs = jax.lax.scan(body, init, keys)
+            i_gs = i0 + jnp.arange(k)
+            init = (params, bn_state, opt_state, best_metric_d, best_pb,
+                    sm_preburner, sm_counter, sm_last_loss,
+                    jnp.asarray(False))
+            carry, outs = jax.lax.scan(body, init, (keys, i_gs))
             return carry, outs
 
         params, bn_state = self._params, self._bn_state
@@ -481,17 +532,16 @@ class BasicManager(ModelAPI):
             return False
 
         auto_sync = epochs_per_sync == "auto"
-
-        def _auto_chunk(a):
-            """Epochs until (and including) the next check_time boundary, so
-            the host stale-check runs exactly when the per-epoch path would."""
-            b = ((a + check_time - 1) // check_time) * check_time
-            return max(b - a + 1, 1) if b >= a else 1
+        # fixed chunk length: one compiled graph serves every chunk (the
+        # tail is masked on device via end_d).  "auto" syncs at the
+        # reference's own check cadence (manager.py:317).
+        k0 = check_time if auto_sync else max(int(epochs_per_sync), 1)
+        k0 = max(min(k0, epochs), 1)
 
         next_i = epoch_start
         i = epoch_start - 1
         while next_i < epochs_end and not stop:
-            if sm["preburner"] or (not auto_sync and int(epochs_per_sync) <= 1):
+            if not auto_sync and int(epochs_per_sync) <= 1:
                 i = next_i
                 next_i += 1
                 step = epoch_step_preburn if sm["preburner"] else epoch_step_normal
@@ -502,26 +552,36 @@ class BasicManager(ModelAPI):
                                      float(integ_e), float(err_e), float(ess_d),
                                      lambda: (p_now, bn_now))
             else:
-                k = _auto_chunk(next_i) if auto_sync else int(epochs_per_sync)
-                k = min(k, epochs_end - next_i)
+                k = min(k0, epochs_end - next_i)  # epochs to process
                 best_metric_d = jnp.asarray(
                     self.best_ess if by_ess else self.best_loss, dtype)
                 if by_ess and not np.isfinite(float(best_metric_d)):
                     best_metric_d = jnp.asarray(-1.0, dtype)
                 best_pb = self.best_params if self.best_params is not None \
                     else (params, bn_state)
-                (params, bn_state, opt_state, _, _), \
-                    (losses, variances, iis, eis, esses, pb_prefix) = chunk_step(
+                (params, bn_state, opt_state, _, _, _, _, _, _), \
+                    (losses, variances, iis, eis, esses, pb_prefix, pres) = \
+                    chunk_step(
                         params, bn_state, opt_state, best_metric_d, best_pb,
-                        self._next_key(), k=k)
+                        jnp.asarray(bool(sm["preburner"])),
+                        jnp.asarray(int(sm["counter"]), jnp.int32),
+                        jnp.asarray(sm["last_loss"], dtype),
+                        self._next_key(), jnp.asarray(next_i, jnp.int32),
+                        jnp.asarray(epochs_end, jnp.int32), k=k0)
                 losses = np.asarray(losses)
                 variances = np.asarray(variances)
                 iis = np.asarray(iis)
                 eis = np.asarray(eis)
                 esses = np.asarray(esses)
+                pres = np.asarray(pres)
                 for j in range(k):
                     i = next_i
                     next_i += 1
+                    # the device ran the same preburn/normal machine; any
+                    # drift between the two replicas is a bug
+                    if bool(pres[j]) != bool(sm["preburner"]):
+                        raise RuntimeError(
+                            f"device/host preburn state diverged at epoch {i}")
                     stop = process_epoch(
                         i, float(losses[j]), float(variances[j]),
                         float(iis[j]), float(eis[j]), float(esses[j]),

@@ -146,8 +146,14 @@ def test_atan_pos_accuracy():
 _INTERP = jax.default_backend() != "tpu"
 
 
-def _exact_check(flow, params, state, n=1000, seed=11, rtol=2e-5, atol=2e-6):
+def _exact_check(flow, params, state, n=1000, seed=11, rtol=None, atol=None):
     from nf_tpu.flows.fast_eval import make_folded_forward
+    # interpret mode shares XLA's math exactly; compiled Mosaic differs in
+    # f32 exp/div/reciprocal lowerings (measured: x ~5e-6 abs, jac ~2e-5 rel)
+    if rtol is None:
+        rtol = 2e-5 if _INTERP else 1e-4
+    if atol is None:
+        atol = 2e-6 if _INTERP else 2e-5
     sampler = pwquad_sampler.build_sampler(flow, params, state,
                                            interpret=_INTERP,
                                            take_latents=True)
@@ -188,7 +194,10 @@ def test_latents_kernel_exact_affine():
     """Affine: polynomial atan vs jnp.arctan bounds the tolerance."""
     flow, params, state = factory.build_affine_flow(
         jax.random.PRNGKey(6), 2, 1, 2, (6,), 1, jnp.float32)
-    _exact_check(flow, params, state, rtol=5e-5, atol=5e-6)
+    if _INTERP:
+        _exact_check(flow, params, state, rtol=5e-5, atol=5e-6)
+    else:
+        _exact_check(flow, params, state)
 
 
 def test_latents_kernel_pad_and_truncate(small_flow):

@@ -20,13 +20,16 @@ Run: JAX_PLATFORMS=cpu python tools/measure_latent_bits.py
 """
 
 import os
+import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")  # beat programmatic overrides
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
