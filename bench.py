@@ -154,7 +154,7 @@ def main():
     flagship_sps = 0.0
     try:
         from nf_tpu.flows import factory
-        n_fl = 1 << 20
+        n_fl = 1 << 21
         flow10, p10, s10 = factory.build_pwquad_flow(
             jax.random.PRNGKey(7), 10, 8, 8, (16, 16), jnp.float32)
         if on_tpu:

@@ -29,18 +29,20 @@ def _single_device_loss(flow, f, maxf, params, bn_state, w):
 
 def test_shard_map_loss_and_grad_match_single_device():
     mesh = make_mesh()
+    # small flow + jitted grads: this is an equivalence test, and the cost
+    # is compile time of grad-through-shard_map on 8 fake devices
     flow, params, state = factory.build_pwquad_flow(
-        jax.random.PRNGKey(0), 2, 2, 4, (4, 4), jnp.float64)
+        jax.random.PRNGKey(0), 2, 2, 2, (3,), jnp.float64)
     maxf = jnp.asarray(2.0)
-    w = jax.random.uniform(jax.random.PRNGKey(1), (512, 2), dtype=jnp.float64)
+    w = jax.random.uniform(jax.random.PRNGKey(1), (256, 2), dtype=jnp.float64)
 
     dp_loss = make_dp_loss(flow, camel, mesh, maxf)
-    (loss_dp, (bn_dp, integ_dp, err_dp)), grads_dp = jax.value_and_grad(
-        dp_loss, has_aux=True)(params, state, w)
+    (loss_dp, (bn_dp, integ_dp, err_dp)), grads_dp = jax.jit(
+        jax.value_and_grad(dp_loss, has_aux=True))(params, state, w)
 
-    (loss_1, bn_1), grads_1 = jax.value_and_grad(
+    (loss_1, bn_1), grads_1 = jax.jit(jax.value_and_grad(
         lambda p: _single_device_loss(flow, camel, maxf, p, state, w),
-        has_aux=True)(params)
+        has_aux=True))(params)
 
     np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=1e-10)
     for a, b in zip(jax.tree.leaves(grads_dp), jax.tree.leaves(grads_1)):
