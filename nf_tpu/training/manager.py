@@ -682,7 +682,15 @@ class BasicManager(ModelAPI):
                      id(params), id(bn_state), train_mode)
         run_all = self._sampler_cache.get(cache_key)
         if run_all is None:
-            if method in ("fused", "folded"):
+            if method == "fused":
+                # single kernel launch for all nitn*neval samples; the
+                # per-iteration structure is recovered by reshaping (each
+                # iteration = a disjoint block of the stream, iid as before)
+                from nf_tpu.flows import sampling as fsampling
+                draw_all = fsampling.make_sampler(
+                    flow, params, bn_state, nitn * neval, method=method,
+                    dtype=dtype, jit=False)
+            elif method == "folded":
                 from nf_tpu.flows import sampling as fsampling
                 draw = fsampling.make_sampler(flow, params, bn_state, neval,
                                               method=method, dtype=dtype,
@@ -696,12 +704,18 @@ class BasicManager(ModelAPI):
 
             @jax.jit
             def run_all(key):
-                def itn(_, k):
-                    x, jacv = draw(k)
-                    fres = f(x) * jacv
-                    return None, (jnp.mean(fres), _var(fres))
-                keys = jax.random.split(key, nitn)
-                _, (means, variances) = jax.lax.scan(itn, None, keys)
+                if method == "fused":
+                    x, jacv = draw_all(key)
+                    fres = (f(x) * jacv).reshape(nitn, neval)
+                    means = jnp.mean(fres, axis=1)
+                    variances = jnp.var(fres, axis=1, ddof=1)
+                else:
+                    def itn(_, k):
+                        x, jacv = draw(k)
+                        fres = f(x) * jacv
+                        return None, (jnp.mean(fres), _var(fres))
+                    keys = jax.random.split(key, nitn)
+                    _, (means, variances) = jax.lax.scan(itn, None, keys)
                 if combine == "mean":
                     sig = jnp.mean(means)
                     # pooled variance of the grand mean (within-iteration
