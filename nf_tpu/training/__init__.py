@@ -1,4 +1,4 @@
-from nf_tpu.training import manager, metrics, optimizers
+from nf_tpu.training import manager, metrics, optimizers, ensemble
 from nf_tpu.training.manager import (
     BasicManager,
     AffineManager,
@@ -10,6 +10,7 @@ __all__ = [
     "manager",
     "metrics",
     "optimizers",
+    "ensemble",
     "BasicManager",
     "AffineManager",
     "PWLinManager",

@@ -1,0 +1,221 @@
+"""Vmapped ensemble training: many flows, one jit, one chip.
+
+The reference parallelizes sweeps by forking OS processes, one eager torch
+run each (reference experiment_mg.py:85-87).  The TPU-native equivalent
+batches the *runs themselves*: per-run parameters are stacked along a
+leading axis and the entire training program — phase-A estimate, preburn,
+variance-loss epochs, kill-counter / preburn-exit state machine, best-model
+tracking — runs under ``jax.vmap`` inside a single ``lax.scan`` over
+epochs.  A 64-seed sweep costs one compile and one device program instead
+of 64 sequential runs.
+
+Semantics: the per-run state machine is the on-device replica used by the
+manager's chunked path (BasicManager._train_variance_forward_seq,
+reference manager.py:307-327), with one difference — runs that hit the
+kill counter keep executing (a vmapped program is fixed-shape) but their
+best-model snapshot and integral accumulators FREEZE at the kill point,
+which is observationally equivalent to stopping.  The host-side stale
+check (manager.py:317-321) is not applied; every run gets the full epoch
+budget unless killed.
+
+Typical use: seed/width sweeps of the same architecture (one static
+``Flow``, stacked params).  Different architectures still need separate
+compiles — use utils.sweep for those.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def stack_ensemble(init_fn, key, n_runs):
+    """Stack per-run (params, state) pytrees along a leading run axis.
+
+    ``init_fn(key) -> (flow, params, state)``; the flow (static plan) must
+    be identical across runs — only the initialization key varies.
+    """
+    keys = jax.random.split(key, n_runs)
+    flows, ps, ss = zip(*(init_fn(k) for k in keys))
+    if any(f != flows[0] for f in flows[1:]):
+        raise ValueError("ensemble runs must share one static Flow plan")
+    stack = lambda *xs: jnp.stack(xs)  # noqa: E731
+    return flows[0], jax.tree.map(stack, *ps), jax.tree.map(stack, *ss)
+
+
+def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
+                   batch_size=1000, epochs=50, mini_batch_size=None,
+                   preburn_time=0, kill_counter=7, loss_mode="var",
+                   select_best_by="loss", pathwise=False, dtype=None):
+    """Train ``n_runs`` flows simultaneously; returns a result dict.
+
+    ``params_stack``/``bn_stack``: pytrees with a leading run axis (from
+    :func:`stack_ensemble`).  ``f`` is shared by all runs (vmapped over the
+    per-run sample batch).  Per-run PRNG streams are disjoint folds of
+    ``key``.
+
+    Returns dict with (all leading-axis ``n_runs`` unless noted):
+      ``best_params``/``best_bn`` — best snapshots; ``best_loss``;
+      ``best_epoch``; ``killed``; ``history [n_runs, epochs]``;
+      ``integ_tot``/``err_tot`` — per-run inverse-variance combinations
+      (reference manager.py:349-350); ``int_loss`` — phase-A losses.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if mini_batch_size is None:
+        mini_batch_size = batch_size
+    mini_batch_size = min(mini_batch_size, batch_size)
+    n_minibatches = batch_size // mini_batch_size
+    n_flow = flow.n_flow
+    n_runs = jax.tree.leaves(params_stack)[0].shape[0]
+    by_ess = select_best_by == "ess"
+
+    from nf_tpu.flows import model as fmodel
+
+    def _var(x):
+        return jnp.var(x, ddof=1)
+
+    # ---- per-run phase A (reference manager.py:139-167)
+    def phase_a_one(key):
+        def round_fn(carry, k):
+            maxf, best_loss, integ0, err0 = carry
+            w = jax.random.uniform(k, (2 * mini_batch_size, n_flow), dtype)
+            fres = f(w)
+            integ0 += jnp.sum(fres) / (n_flow * 2 * mini_batch_size)
+            err0 += _var(fres) / n_flow
+            maxf = jnp.maximum(maxf, jnp.max(fres))
+            if loss_mode == "var":
+                best_loss += _var(fres / maxf) / n_flow
+            else:
+                best_loss += jnp.mean(fres ** 2) / n_flow
+            return (maxf, best_loss, integ0, err0), None
+        init = tuple(jnp.zeros((), dtype) for _ in range(4))
+        keys = jax.random.split(key, n_flow)
+        (maxf, best_loss, integ0, err0), _ = jax.lax.scan(round_fn, init, keys)
+        return maxf, best_loss, integ0, err0
+
+    # ---- per-run epoch body (matches the manager's, manager.py:212-280)
+    def make_epoch_body(preburn: bool):
+        def epoch_step(params, bn_state, opt_state, maxf, key):
+            def minibatch(bn_carry, k):
+                w = jax.random.uniform(k, (mini_batch_size, n_flow), dtype)
+
+                def loss_fn(p):
+                    x, jacv, new_bn = fmodel.forward(flow, p, bn_carry, w, True)
+                    if preburn:
+                        fres = f(w)
+                        fXJ = fres * jacv / maxf
+                    else:
+                        x_f = x if pathwise else jax.lax.stop_gradient(x)
+                        fres = f(x_f) * jacv
+                        fXJ = fres / maxf
+                    if loss_mode == "var" or (loss_mode == "kl" and preburn):
+                        l = _var(fXJ)
+                    elif loss_mode == "kl":
+                        l = jnp.mean(jax.lax.stop_gradient(fXJ)
+                                     * jnp.log(jnp.maximum(jacv, 1e-30)))
+                    else:
+                        l = jnp.mean((fXJ * maxf) ** 2)
+                    fres_d = jax.lax.stop_gradient(fres)
+                    return l, (new_bn, jnp.mean(fres_d), _var(fres_d),
+                               jnp.mean(fres_d ** 2))
+
+                (l, (new_bn, ii, ei, qi)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                return new_bn, (l, g, ii, ei, qi)
+
+            keys = jax.random.split(key, n_minibatches)
+            bn_state, (ls, gs, iis, eis, qis) = jax.lax.scan(
+                minibatch, bn_state, keys)
+            loss = jnp.mean(ls)
+            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gs)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            mean_w = jnp.mean(iis)
+            ess = mean_w ** 2 / jnp.maximum(jnp.mean(qis), 1e-300)
+            return params, bn_state, opt_state, loss, mean_w, jnp.mean(eis), ess
+        return epoch_step
+
+    body_pre = make_epoch_body(True)
+    body_norm = make_epoch_body(False)
+
+    # ---- per-run epoch + state machine (device replica of the manager's
+    # chunked machine; see manager.py chunk_step)
+    def machine_epoch(carry, xs):
+        (params, bn, opt, maxf, int_loss, b_metric, b_pb, pre, counter,
+         last_loss, killed) = carry
+        ek, i_g = xs
+        params, bn, opt, loss, integ_e, err_e, ess = jax.lax.cond(
+            pre, body_pre, body_norm, params, bn, opt, maxf, ek)
+        improved = jnp.logical_and(
+            jnp.logical_and(~pre, ~killed),
+            (ess > b_metric) if by_ess else (loss < b_metric))
+        b_metric = jnp.where(improved, ess if by_ess else loss, b_metric)
+        b_pb = jax.tree.map(lambda old, new: jnp.where(improved, new, old),
+                            b_pb, (params, bn))
+        counter = jnp.where(loss < last_loss, 0, counter + 1)
+        overflow = counter > kill_counter
+        end_pre_kill = jnp.logical_and(overflow, pre)
+        killed = jnp.logical_or(killed, jnp.logical_and(overflow, ~pre))
+        counter = jnp.where(end_pre_kill, 0, counter)
+        pre = jnp.logical_and(pre, ~end_pre_kill)
+        last_loss = loss
+        pre = jnp.logical_and(
+            pre, ~jnp.logical_or(loss < 0.25 * int_loss, i_g > preburn_time))
+        return (params, bn, opt, maxf, int_loss, b_metric, b_pb, pre,
+                counter, last_loss, killed), \
+            (loss, integ_e, err_e, killed, improved)
+
+    def train_one(params, bn, key):
+        k_a, k_t = jax.random.split(key)
+        maxf, int_loss, integ0, err0 = phase_a_one(k_a)
+        opt_state = optimizer.init(params)
+        # manager semantics: best_loss starts at the phase-A loss
+        b_metric0 = jnp.asarray(-1.0, dtype) if by_ess \
+            else jnp.asarray(int_loss, dtype)
+        init = (params, bn, opt_state, maxf, int_loss,
+                b_metric0, (params, bn),
+                jnp.asarray(preburn_time > 0), jnp.asarray(0, jnp.int32),
+                jnp.asarray(1000.0, dtype), jnp.asarray(False))
+        keys = jax.random.split(k_t, epochs)
+        i_gs = jnp.arange(epochs)
+        carry, (losses, integs, errs, killed_series, improved_series) = \
+            jax.lax.scan(machine_epoch, init, (keys, i_gs))
+        (params, bn, opt_state, maxf, int_loss, b_metric, b_pb, pre,
+         counter, last_loss, killed) = carry
+        # integral/error accumulators incl. the phase-A entry, with epochs
+        # after a kill excluded (the manager stops processing there; the
+        # killing epoch itself IS accumulated, so shift the mask by one)
+        alive = ~jnp.concatenate(
+            [jnp.asarray([False]), killed_series[:-1]])
+        integ = jnp.concatenate([integ0[None], jnp.where(alive, integs, 0.0)])
+        err = jnp.concatenate([err0[None], jnp.where(alive, errs, 0.0)])
+        mask = err > 0
+        iw = jnp.where(mask, 1.0 / jnp.where(mask, err, 1.0), 0.0)
+        integ_tot = jnp.sum(integ * iw) / jnp.sum(iw)
+        err_tot = jnp.sqrt(1.0 / jnp.sum(iw))
+        best_epoch = jnp.max(jnp.where(improved_series, i_gs, -1))
+        return (b_pb[0], b_pb[1], b_metric, best_epoch, killed, losses,
+                integ_tot, err_tot, int_loss)
+
+    run_keys = jax.random.split(key, n_runs)
+    outs = jax.jit(jax.vmap(train_one))(params_stack, bn_stack, run_keys)
+    (best_p, best_bn, best_metric, best_epoch, killed, history,
+     integ_tot, err_tot, int_loss) = outs
+    return {
+        "best_params": best_p,
+        "best_bn": best_bn,
+        ("best_ess" if by_ess else "best_loss"): best_metric,
+        "best_epoch": np.asarray(best_epoch),
+        "killed": np.asarray(killed),
+        "history": np.asarray(history),
+        "integ_tot": np.asarray(integ_tot),
+        "err_tot": np.asarray(err_tot),
+        "int_loss": np.asarray(int_loss),
+    }
+
+
+def run_index(tree, i):
+    """Extract run ``i``'s pytree from a stacked ensemble result."""
+    return jax.tree.map(lambda a: a[i], tree)

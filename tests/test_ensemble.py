@@ -1,0 +1,91 @@
+"""Vmapped ensemble training (nf_tpu.training.ensemble): many flows in one
+jit — the TPU-native replacement for the reference's multiprocessing sweep
+fan-out (reference experiment_mg.py:85-87)."""
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nf_tpu.flows import factory, model as fmodel
+from nf_tpu.training import optimizers
+from nf_tpu.training.ensemble import stack_ensemble, train_ensemble, run_index
+
+
+def camel(x):
+    return (jnp.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.04)
+            + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
+
+
+def camel_exact():
+    g = 0.2 * (math.sqrt(math.pi) / 2) * (math.erf(0.25 / 0.2) + math.erf(0.75 / 0.2))
+    return 2 * g * g
+
+
+def _ensemble(n_runs=4):
+    def init(k):
+        return factory.build_pwquad_flow(k, 2, 4, 4, (4, 4), jnp.float64)
+    return stack_ensemble(init, jax.random.PRNGKey(0), n_runs)
+
+
+def test_ensemble_trains_all_runs():
+    flow, p_stack, s_stack = _ensemble(4)
+    opt = optimizers.adamax(3e-3)
+    res = train_ensemble(flow, p_stack, s_stack, camel, opt,
+                         jax.random.PRNGKey(1), batch_size=1500, epochs=30,
+                         preburn_time=3, kill_counter=100)
+    assert res["history"].shape == (4, 30)
+    assert res["best_params"] is not None
+    # every run improved on its phase-A loss
+    assert (np.asarray(res["best_loss"]) < res["int_loss"]).all()
+    # per-run integral estimates are near the analytic camel value
+    exact = camel_exact()
+    for i in range(4):
+        assert abs(res["integ_tot"][i] - exact) < \
+            8 * res["err_tot"][i] + 0.05 * exact
+
+    # per-run best snapshots are usable flows mapping onto [0, 1]
+    bp = run_index(res["best_params"], 2)
+    bs = run_index(res["best_bn"], 2)
+    w = jax.random.uniform(jax.random.PRNGKey(5), (256, 2), jnp.float64)
+    x, jac, _ = fmodel.forward(flow, bp, bs, w, False)
+    assert bool(((x >= 0) & (x <= 1)).all())
+    assert bool(jnp.isfinite(jac).all())
+
+
+def test_ensemble_runs_differ_and_are_deterministic():
+    flow, p_stack, s_stack = _ensemble(3)
+    opt = optimizers.adamax(3e-3)
+    kw = dict(batch_size=800, epochs=10, preburn_time=0, kill_counter=100)
+    r1 = train_ensemble(flow, p_stack, s_stack, camel, opt,
+                        jax.random.PRNGKey(2), **kw)
+    r2 = train_ensemble(flow, p_stack, s_stack, camel, opt,
+                        jax.random.PRNGKey(2), **kw)
+    np.testing.assert_array_equal(r1["history"], r2["history"])
+    # distinct seeds/streams -> distinct trajectories
+    assert not np.allclose(r1["history"][0], r1["history"][1])
+
+
+def test_ensemble_kill_counter_freezes_best():
+    """lr=0 makes the loss a random walk: runs hit the kill counter; their
+    best snapshot must come from before the kill (freeze semantics)."""
+    flow, p_stack, s_stack = _ensemble(3)
+    opt = optimizers.adamax(0.0)
+    res = train_ensemble(flow, p_stack, s_stack, camel, opt,
+                         jax.random.PRNGKey(3), batch_size=500, epochs=60,
+                         preburn_time=0, kill_counter=2)
+    assert np.asarray(res["killed"]).all()
+    assert np.isfinite(res["integ_tot"]).all()
+
+
+def test_ensemble_requires_shared_plan():
+    import pytest
+    sizes = iter([2, 3])
+
+    def init(k):
+        return factory.build_pwquad_flow(k, 2, next(sizes), 4, (4,),
+                                         jnp.float64)
+    with pytest.raises(ValueError):
+        stack_ensemble(init, jax.random.PRNGKey(0), 2)
