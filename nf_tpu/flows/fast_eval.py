@@ -212,3 +212,99 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
         return x, jac
 
     return forward
+
+
+def make_folded_inverse(flow, params, state, dtype=jnp.float32):
+    """Build ``g(x) -> (w, jac_inv)``: fast eval-mode inverse with folded BN.
+
+    ``jac_inv`` is the Jacobian of the inverse map, which is also the
+    model density q(x) of the flow-induced distribution (latents are
+    uniform on the unit cube), so this is the production ``q(x)`` /
+    ``log q(x)`` evaluation path — needed for reweighting, MCMC proposals,
+    and diagnostics.  Completes the reference's unimplemented inversion
+    TODO (reference README.md:69) at folded-forward speed.
+    """
+    import math as _math
+
+    from nf_tpu.bijectors import coupling as _coupling
+
+    folded = fold_eval_params(flow, params, state, dtype=np.dtype(dtype))
+    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype))
+               for wm, bv in layers] for layers in folded]
+    cells = flow.cells
+    ops = flow.ops
+
+    def mlp(layers, h):
+        for li, (wm, bv) in enumerate(layers):
+            h = jnp.dot(h, wm, precision=jax.lax.Precision.HIGHEST) + bv
+            if li < len(layers) - 1:
+                h = jnp.maximum(h, 0.0)
+        return h
+
+    def inverse(x):
+        y = x.astype(dtype)
+        jac = jnp.ones((x.shape[0],), dtype)
+        for op in reversed(ops):
+            tag = op[0]
+            if tag == "roll":
+                y = jnp.roll(y, -op[1], axis=-1)
+            elif tag == "gather":
+                inv_perm = np.empty(len(op[1]), dtype=np.int64)
+                inv_perm[np.asarray(op[1])] = np.arange(len(op[1]))
+                y = y[:, inv_perm]
+            elif tag == "scatter":
+                y = y[:, np.asarray(op[1])]
+            elif tag == "cell":
+                cfg = cells[op[1]]
+                pt = cfg.pass_through
+                t = cfg.flow_size - pt
+                yA, yB = y[:, :pt], y[:, pt:]
+                z = mlp(folded[op[1]], yA)
+                if cfg.kind == "pwquad":
+                    z = z.reshape(z.shape[0], t, 2 * cfg.n_bins + 1)
+                    xB, fwd = _coupling.pwquad_invert(
+                        z[:, :, : cfg.n_bins + 1], z[:, :, cfg.n_bins + 1:],
+                        yB)
+                elif cfg.kind == "pwlin":
+                    q = jnp.exp(z.reshape(z.shape[0], t, cfg.n_bins))
+                    qsum = jnp.cumsum(q, axis=-1)
+                    qnorm = qsum[:, :, -1:]
+                    q = q / (qnorm / cfg.n_bins)
+                    qsum = qsum / qnorm
+                    qsum2 = jnp.concatenate(
+                        [jnp.zeros_like(qsum[:, :, :1]), qsum], axis=-1)
+                    b = jnp.sum((qsum <= yB[:, :, None]).astype(jnp.int32),
+                                axis=-1)
+                    b = jnp.minimum(b, cfg.n_bins - 1)[:, :, None]
+                    cdf_lo = jnp.take_along_axis(qsum2, b, axis=-1)[:, :, 0]
+                    q_b = jnp.take_along_axis(q, b, axis=-1)[:, :, 0]
+                    alphas = (yB - cdf_lo) / q_b
+                    xB = (b[:, :, 0].astype(dtype)
+                          + alphas * cfg.n_bins) / cfg.n_bins
+                    fwd = jnp.prod(q_b, axis=-1)
+                else:  # affine (incl. the replicated single-2/pi quirk)
+                    z = z.reshape(z.shape[0], 2, t)
+                    s0 = jnp.exp(z[:, 0])
+                    s1 = jnp.maximum(z[:, 1], 0.0)
+                    u = jnp.tan(yB * (_math.pi / 2.0))
+                    xB = (u - s1) / (20.0 * s0)
+                    diff = 1.0 / (u * u + 1.0)
+                    fwd = (jnp.prod(20.0 * s0, axis=1)
+                           * (1.0 / (_math.pi / 2.0)) * jnp.prod(diff, axis=1))
+                y = jnp.concatenate([yA, xB], axis=1)
+                jac = jac / fwd
+        return y, jac
+
+    return inverse
+
+
+def make_density(flow, params, state, dtype=jnp.float32):
+    """``q(x) -> [B]``: model density at phase-space-side points (folded
+    eval-mode inverse; see :func:`make_folded_inverse`)."""
+    inv = make_folded_inverse(flow, params, state, dtype)
+
+    def density(x):
+        _, jac_inv = inv(x)
+        return jac_inv
+
+    return density

@@ -13,15 +13,22 @@ torch.double (SURVEY.md section 7).
 
 import os
 
+# NF_TPU_TEST_BACKEND=tpu runs the suite against the real accelerator
+# (x64 off — TPU f64 is emulated); default pins the local CPU backend.
+_backend = os.environ.get("NF_TPU_TEST_BACKEND", "cpu")
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if _backend == "cpu" and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")  # beat any programmatic override
-jax.config.update("jax_enable_x64", True)
+if _backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")  # beat programmatic override
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 # Persistent compilation cache: repeated test runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
