@@ -663,7 +663,12 @@ class BasicManager(ModelAPI):
         ``method`` selects the sampling path (see :meth:`_resolve_method`):
         the default runs the fused Pallas kernel on TPU (eval-mode map,
         exactly unbiased) and the reference-parity stateful forward
-        elsewhere.
+        elsewhere.  ``method="qmc"`` uses randomized quasi-Monte-Carlo:
+        ``nitn`` independently Owen-scrambled Sobol replications of
+        ``neval`` points (rounded up to a power of two) through the
+        eval-mode map — near-O(1/N) error on smooth targets vs the
+        reference's O(1/sqrt(N)); the error is the across-replication
+        standard error and ``combine`` is ignored.
         """
         if self.best_params is None:
             print("No model has been trained")
@@ -676,6 +681,26 @@ class BasicManager(ModelAPI):
         flow = self._flow
         train_mode = not self.best_eval_mode  # reference never calls .eval()
         n_flow, dtype = self.n_flow, self.dtype
+        if method == "qmc":
+            from nf_tpu.utils import qmc
+            from nf_tpu.flows.fast_eval import make_folded_forward
+            cache_key = ("qmc_eval", id(f), id(params), id(bn_state))
+            eval_mean = self._sampler_cache.get(cache_key)
+            if eval_mean is None:
+                fwd = make_folded_forward(flow, params, bn_state, dtype)
+
+                @jax.jit
+                def eval_mean(w):
+                    x, jacv = fwd(w)
+                    return jnp.mean(f(x) * jacv)
+
+                self._sampler_cache[cache_key] = eval_mean
+            base = seed if seed is not None else int(
+                jax.random.randint(self._next_key(), (), 0, 2 ** 31 - 1))
+            sig, sig_err, _ = qmc.rqmc_integrate(
+                eval_mean, n_flow, nitn, neval, base,
+                dtype=np.dtype(dtype))
+            return (sig, sig_err)
         method = self._resolve_method(method, None)
 
         cache_key = ("integrate", id(f), nitn, neval, method, combine,
