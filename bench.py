@@ -63,6 +63,17 @@ def main():
         preburn_time=20)
     train_time = time.time() - t_train0
 
+    # warm training wall-clock: identical second run (compiles cached) —
+    # the per-run cost once the one-time compilation is paid
+    NF_w = PWQuadManager(n_flow=2, seed=1)
+    NF_w.create_model(2, 4, [3] * 3)
+    t_w = time.time()
+    NF_w._train_variance_forward_seq(
+        camel, optimizers.adamax(2e-3, 1e-4), log=False, batch_size=10000,
+        epochs=150, pretty_progressbar=False, mini_batch_size=10000,
+        integrate=False, preburn_time=20)
+    train_time_warm = time.time() - t_w
+
     params, bn_state = NF.best_params
 
     # ---- TPU-exact kernel gate: the latents-operand kernel variant must
@@ -90,6 +101,11 @@ def main():
     sig, sig_err = NF.integrate(camel, nitn, neval, seed=123)
     exact = camel_exact()
     rel_err = abs(sig - exact) / exact
+
+    # randomized-QMC integrate: scrambled Sobol through the latents-operand
+    # kernel; near-O(1/N) error (nf_tpu.utils.qmc)
+    sig_qmc, err_qmc = NF.integrate(camel, 8, 65536, seed=11, method="qmc")
+    rel_err_qmc = abs(sig_qmc - exact) / exact
 
     # unweighting efficiency w_mean/w_max on fresh samples
     # (reference measurement protocol, experiment_mg.py:66-76,101)
@@ -199,9 +215,13 @@ def main():
             "camel2d_integral_err": sig_err,
             "camel2d_exact": exact,
             "camel2d_rel_err": rel_err,
+            "camel2d_qmc_integral": sig_qmc,
+            "camel2d_qmc_err": err_qmc,
+            "camel2d_qmc_rel_err": rel_err_qmc,
             "camel2d_unweighting_efficiency": unweighting_eff,
             "neval": neval, "nitn": nitn,
             "train_seconds": train_time,
+            "train_seconds_warm": train_time_warm,
             "device": str(jax.devices()[0]),
         },
     }))

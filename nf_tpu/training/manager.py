@@ -683,15 +683,28 @@ class BasicManager(ModelAPI):
         n_flow, dtype = self.n_flow, self.dtype
         if method == "qmc":
             from nf_tpu.utils import qmc
-            from nf_tpu.flows.fast_eval import make_folded_forward
             cache_key = ("qmc_eval", id(f), id(params), id(bn_state))
             eval_mean = self._sampler_cache.get(cache_key)
             if eval_mean is None:
-                fwd = make_folded_forward(flow, params, bn_state, dtype)
+                from nf_tpu.flows.sampling import supported_by_kernel
+                if jax.default_backend() == "tpu" \
+                        and supported_by_kernel(flow):
+                    # latents-operand Pallas kernel: QMC points in, fused
+                    # map out (the PRNG variant can't take external points)
+                    from nf_tpu.ops.pwquad_sampler import build_sampler
+                    fwd = build_sampler(flow, params, bn_state,
+                                        take_latents=True)
+
+                    def map_pts(w):
+                        return fwd(w.astype(jnp.float32))
+                else:
+                    from nf_tpu.flows.fast_eval import make_folded_forward
+                    map_pts = make_folded_forward(flow, params, bn_state,
+                                                  dtype)
 
                 @jax.jit
                 def eval_mean(w):
-                    x, jacv = fwd(w)
+                    x, jacv = map_pts(w)
                     return jnp.mean(f(x) * jacv)
 
                 self._sampler_cache[cache_key] = eval_mean
