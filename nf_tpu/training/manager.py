@@ -804,6 +804,12 @@ class BasicManager(ModelAPI):
         ``_train_variance_forward_seq(..., resume_from=path,
         epoch_start=<epochs already run>)`` continues bit-for-bit.
         Pickle format (like torch.save); load only files you wrote.
+
+        Exactness caveat: if the previous run EARLY-STOPPED mid-chunk
+        (epochs_per_sync != 1), the saved ``params``/``opt_state`` include
+        the chunk's remaining device epochs past the stop point
+        (``best_params`` is exact regardless).  Runs that used their full
+        epoch budget, or ``epochs_per_sync=1``, resume exactly.
         """
         import pickle
 

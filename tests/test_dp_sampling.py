@@ -88,3 +88,22 @@ def test_dp_integrate_mean_combine_and_accuracy():
     exact = 2 * g * g
     # untrained flow: still an unbiased estimator, loose tolerance
     assert abs(sig - exact) < 10 * err + 0.05 * exact
+
+
+def test_dp_sample_fused_interpret_matches_folded():
+    """The fused-kernel per-device branch (latents-operand variant in
+    interpret mode off-TPU) must agree with the folded jnp branch on the
+    same per-device key folding, to f32 kernel tolerances."""
+    flow, params, state = _make_flow()
+    params32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    state32 = jax.tree.map(lambda a: a.astype(jnp.float32), state)
+    mesh = make_mesh(jax.devices()[:8])
+    n, seed = 8 * 128, 3
+    x_f, jac_f = dp_sample(flow, params32, state32, mesh, n, seed=seed,
+                           method="fused")
+    x_r, jac_r = dp_sample(flow, params32, state32, mesh, n, seed=seed,
+                           method="folded", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jac_f), np.asarray(jac_r),
+                               rtol=1e-3)
