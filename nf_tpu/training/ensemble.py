@@ -47,7 +47,8 @@ def stack_ensemble(init_fn, key, n_runs):
 def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
                    batch_size=1000, epochs=50, mini_batch_size=None,
                    preburn_time=0, kill_counter=7, loss_mode="var",
-                   select_best_by="loss", pathwise=False, dtype=None):
+                   select_best_by="loss", pathwise=False, dtype=None,
+                   runs_per_call=16):
     """Train ``n_runs`` flows simultaneously; returns a result dict.
 
     ``params_stack``/``bn_stack``: pytrees with a leading run axis (from
@@ -60,6 +61,11 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
       ``best_epoch``; ``killed``; ``history [n_runs, epochs]``;
       ``integ_tot``/``err_tot`` — per-run inverse-variance combinations
       (reference manager.py:349-350); ``int_loss`` — phase-A losses.
+
+    ``runs_per_call`` bounds how many runs execute in one device program
+    (groups are looped on host and results re-stacked): very wide vmapped
+    ensembles have crashed the remote-TPU runtime (observed at 64 runs x
+    batch 10000), and the grouping costs nothing when n_runs is small.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -200,7 +206,17 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
                 integ_tot, err_tot, int_loss)
 
     run_keys = jax.random.split(key, n_runs)
-    outs = jax.jit(jax.vmap(train_one))(params_stack, bn_stack, run_keys)
+    step = jax.jit(jax.vmap(train_one))
+    if runs_per_call is None or n_runs <= runs_per_call:
+        outs = step(params_stack, bn_stack, run_keys)
+    else:
+        groups = []
+        for s0 in range(0, n_runs, runs_per_call):
+            sl = slice(s0, min(s0 + runs_per_call, n_runs))
+            groups.append(step(
+                jax.tree.map(lambda a: a[sl], params_stack),
+                jax.tree.map(lambda a: a[sl], bn_stack), run_keys[sl]))
+        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *groups)
     (best_p, best_bn, best_metric, best_epoch, killed, history,
      integ_tot, err_tot, int_loss) = outs
     return {

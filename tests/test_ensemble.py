@@ -89,3 +89,17 @@ def test_ensemble_requires_shared_plan():
                                          jnp.float64)
     with pytest.raises(ValueError):
         stack_ensemble(init, jax.random.PRNGKey(0), 2)
+
+
+def test_ensemble_grouping_matches_single_call():
+    """runs_per_call grouping must not change results (same per-run keys)."""
+    flow, p_stack, s_stack = _ensemble(5)
+    opt = optimizers.adamax(3e-3)
+    kw = dict(batch_size=600, epochs=8, preburn_time=0, kill_counter=100)
+    r_all = train_ensemble(flow, p_stack, s_stack, camel, opt,
+                           jax.random.PRNGKey(6), runs_per_call=None, **kw)
+    r_grp = train_ensemble(flow, p_stack, s_stack, camel, opt,
+                           jax.random.PRNGKey(6), runs_per_call=2, **kw)
+    np.testing.assert_allclose(r_grp["history"], r_all["history"], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_grp["best_loss"]),
+                               np.asarray(r_all["best_loss"]), rtol=1e-12)
