@@ -45,6 +45,12 @@ def pro(para):
     logdir = para["logdir"] + "/" + str(internal_id)
     log = para["log"]
     seed = para.get("seed", 0)
+    # optional nf_tpu extensions (absent keys keep reference behavior,
+    # reference experiment_mg.py:15-30 schema)
+    epochs = para.get("epochs", EPOCH_LENGTH)
+    loss_mode = para.get("loss_mode", "var")
+    select_best_by = para.get("select_best_by", "loss")
+    kill_counter = para.get("kill_counter", 7)
 
     start_time = datetime.datetime.now(datetime.timezone.utc)
     os.makedirs(logdir, exist_ok=True)
@@ -63,9 +69,11 @@ def pro(para):
     file.write("Start training \n")
 
     sig, sig_err = NF._train_variance_forward_seq(
-        f, optim, log, logdir, batch_size, EPOCH_LENGTH,
+        f, optim, log, logdir, batch_size, epochs,
         pretty_progressbar=False, save_best=True, run=None,
-        integrate=True, mini_batch_size=batch_size, preburn_time=pt)
+        integrate=True, mini_batch_size=batch_size, preburn_time=pt,
+        kill_counter=kill_counter, loss_mode=loss_mode,
+        select_best_by=select_best_by)
 
     file.write("End training \n")
     end_time = datetime.datetime.now(datetime.timezone.utc)

@@ -77,3 +77,27 @@ def test_resume_dict_roundtrip(tmp_path):
     assert state["meta"]["last_epoch"] == 3
     assert len(state["meta"]["history"]) == 4
     assert state["integ"].shape == (5,)
+
+
+def test_resume_with_auto_chunking_continues_validly(tmp_path):
+    """Auto-chunked resume isn't RNG-identical to an uninterrupted run
+    (keys are chunked differently) but must continue with valid
+    bookkeeping from the restored state."""
+    args = dict(ARGS)
+    args.pop("epochs_per_sync")
+    NF = _fresh()
+    NF._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                   epochs=12, **args)
+    path = str(tmp_path / "s.pkl")
+    NF.save_training_state(path)
+    first_best = NF.best_loss
+
+    NF2 = _fresh()
+    NF2._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                    epochs=12, epoch_start=12,
+                                    resume_from=path, **args)
+    assert len(NF2.history) == 24
+    # restored prefix is the saved history
+    np.testing.assert_allclose(NF2.history[:12], NF.history, rtol=1e-12)
+    assert NF2.best_loss <= first_best
+    assert np.isfinite(NF2.integ_tot) and np.isfinite(NF2.err_tot)
