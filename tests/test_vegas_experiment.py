@@ -206,3 +206,26 @@ def test_run_sweep_rejects_unknown_mode():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         run_sweep([], mode="fork")
+
+
+def test_pro_worker_optional_knobs(tmp_path):
+    """Optional para keys (epochs/loss_mode/select_best_by) reach the
+    trainer; absent keys keep the reference schema."""
+    import queue
+    import nf_tpu.utils.experiment as exp
+
+    q = queue.Queue()
+    para = {
+        "n_flow": 2, "n_bins": 4, "NN_width": 4, "NN_length": 2,
+        "dev": 0, "lr": 2e-3, "weight_decay": 1e-4, "var_n": 500,
+        "batch_size": 400, "pt": 0, "f": gauss2, "q": q, "id": 9,
+        "logdir": str(tmp_path), "log": False, "seed": 0,
+        "epochs": 6, "loss_mode": "kl", "select_best_by": "ess",
+        "kill_counter": 1000,
+    }
+    exp.pro(para)
+    tup = q.get_nowait()
+    assert tup[8] == "NIS"
+    assert np.isfinite(tup[11])  # sigma
+    # epochs override honored: func_count = 2*batch*n_flow + epochs*batch
+    assert tup[3] == 2 * 400 * 2 + 6 * 400
