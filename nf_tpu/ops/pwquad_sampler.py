@@ -251,13 +251,20 @@ def _uniform_from_bits(bits):
 # ---------------------------------------------------------------------------
 
 def build_sampler(flow, params, state, interpret: bool = False,
-                  tile_sub: int = DEFAULT_SUB, take_latents: bool = False):
+                  tile_sub: int = DEFAULT_SUB, take_latents: bool = False,
+                  layout: str = "batch_major"):
     """Compile a fused sampler for a (trained) PWQuad flow in eval mode.
 
     Returns ``sample(seed: int32, n: int) -> (x [n, n_flow] f32, jac [n] f32)``.
     ``n`` is rounded up to a multiple of ``tile_sub * 128`` internally and
     truncated on return.  ``tile_sub`` sets the per-grid-step tile height
     (samples per step = tile_sub * 128).
+
+    ``layout="dim_major"`` returns ``x`` as ``[n_flow, n]`` — the kernel's
+    native output layout — skipping the ``[n, n_flow]`` transpose copy
+    (one extra HBM read+write of the whole sample block).  Use it when the
+    consumer runs in the same jit and can slice rows (e.g. the fused
+    ``integrate`` epilogue).
 
     ``take_latents=True`` builds the debug/equivalence variant: instead of
     the in-kernel PRNG, latent points come in as an operand and the
@@ -378,7 +385,10 @@ def build_sampler(flow, params, state, interpret: bool = False,
             ),
             interpret=interpret,
         )(*operands)
-        x = x_t.reshape(n_flow, n_pad).T[:n]
+        if layout == "dim_major":
+            x = x_t.reshape(n_flow, n_pad)[:, :n]
+        else:
+            x = x_t.reshape(n_flow, n_pad).T[:n]
         jac = jac_t.reshape(n_pad)[:n]
         return x, jac
 

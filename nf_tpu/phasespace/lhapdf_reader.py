@@ -17,9 +17,40 @@ block per subgrid, each terminated by ``---``:
     line 3: flavor PDG ids
     then len(x)*len(Q) rows of len(flavors) values of x*f(x, Q),
     row-major with the x index outermost.
+
+Real-grid semantics honored here (each covered by tests on the adversarial
+fixture, tools/make_pdf_fixture.py):
+
+  * **values may be negative** (NLO gluon at small x): interpolation is
+    cubic in the VALUE with log coordinates — never log-of-value — so
+    negative regions interpolate exactly like positive ones;
+  * **subgrid boundaries are hard**: stencils never cross a subgrid edge
+    (LHAPDF interpolates each subgrid independently), so a kink in dln f/
+    dln Q2 at the boundary — e.g. an alpha_s matching point — is preserved,
+    not smoothed over;
+  * **flavor thresholds**: grids carry forced Q knots at quark masses where
+    a flavor PDF switches on; the reader needs no special casing beyond not
+    smoothing across knots (cubic Hermite is local), which the threshold
+    tests pin down.
+
+Out-of-range queries follow the ``extrapolation`` policy:
+
+  * ``"continuation"`` (default — the structure of LHAPDF6's default
+    ContinuationExtrapolator): below ``x_min``, extrapolate from the
+    anchor pair (x_min, 1.01*x_min) linearly in log x of log(xf) when both
+    anchor values exceed 1e-3, else linearly in log x of the value itself
+    (handles negative/small values); above ``q2_max``, the same recipe in
+    log Q2 from (0.99*q2_max, q2_max); below ``q2_min``, from
+    (q2_min, 1.01*q2_min) extrapolating downward.  Corner queries (x and
+    Q2 both out of range) extrapolate in x at the two Q2 anchors first,
+    then in Q2.
+  * ``"nearest"``: clamp to the grid edge (the pre-r3 behavior; cheapest —
+    the interior path evaluates one stencil instead of nine).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -151,32 +182,69 @@ class _Subgrid:
         return _hermite(kx4, vq, lx)                        # [B]
 
 
+def _extrapolate_linear(u, ua, ub, ya, yb):
+    """LHAPDF6 ContinuationExtrapolator's anchor rule: linear in ``u``
+    (a log coordinate) of log y when both anchors exceed 1e-3, else linear
+    in ``u`` of y itself (covers negative/vanishing PDFs)."""
+    frac = (u - ua) / (ub - ua)
+    log_ok = jnp.logical_and(ya > 1e-3, yb > 1e-3)
+    safe_a = jnp.maximum(ya, 1e-300)
+    safe_b = jnp.maximum(yb, 1e-300)
+    y_log = jnp.exp(jnp.log(safe_a) + frac * (jnp.log(safe_b) - jnp.log(safe_a)))
+    y_lin = ya + frac * (yb - ya)
+    return jnp.where(log_ok, y_log, y_lin)
+
+
 class LHAPDFGrid:
     """A parsed LHAPDF6 member, evaluated jax-natively.
 
     ``xfxQ2(pdg, x, q2)`` returns x*f(x, Q2) with log-bicubic interpolation
     per subgrid (subgrids partition the Q range; selection is a static mask
-    over the few subgrids, so everything stays jittable).  Queries outside
-    the tabulated range are clamped to the grid edge.
+    over the few subgrids, so everything stays jittable).  Out-of-range
+    queries follow the ``extrapolation`` policy — ``"continuation"``
+    (LHAPDF6's default recipe) or ``"nearest"`` (edge clamp); see the
+    module docstring for the exact rules.
     """
 
-    def __init__(self, subgrids, meta=None):
+    def __init__(self, subgrids, meta=None, extrapolation="continuation"):
         self.meta = dict(meta or {})
         self._subgrids = [_Subgrid(*sg) for sg in subgrids]
+        if extrapolation not in ("continuation", "nearest"):
+            raise ValueError(f"unknown extrapolation policy {extrapolation!r}")
+        self.extrapolation = extrapolation
+        sg0 = self._subgrids[0]
+        self.x_min = float(np.exp(sg0.log_xs[1]))
+        self.q2_min = sg0.q2_min
+        self.q2_max = self._subgrids[-1].q2_max
 
     @classmethod
-    def from_dat(cls, path):
+    def from_dat(cls, path, extrapolation="continuation"):
         meta, subgrids = read_lhapdf_dat(path)
-        return cls(subgrids, meta)
+        return cls(subgrids, meta, extrapolation)
+
+    @classmethod
+    def from_tabulated(cls, xs, q2s, grids, extrapolation="continuation"):
+        """Build a single-subgrid member from tabulated arrays.
+
+        ``grids`` maps pdg -> ``[len(xs), len(q2s)]`` arrays of x*f values.
+        This is the canonical way to put ANY host PDF on device (tabulate
+        once outside jit, evaluate log-bicubically under jit).
+        """
+        flavors = np.asarray(sorted(grids), dtype=np.int64)
+        values = np.stack([np.asarray(grids[int(f)], dtype=np.float64)
+                           for f in flavors], axis=-1)
+        xs = np.asarray(xs, dtype=np.float64)
+        qs = np.sqrt(np.asarray(q2s, dtype=np.float64))
+        if len(xs) < 2 or len(qs) < 2:
+            raise ValueError("from_tabulated needs >= 2 knots per axis")
+        return cls([(xs, qs, flavors, values)], extrapolation=extrapolation)
 
     @property
     def flavors(self):
         return sorted(self._subgrids[0].flavor_index)
 
-    def xfxQ2(self, pdg, x, q2):
-        pdg = int(pdg)
-        x = jnp.atleast_1d(x)
-        q2 = jnp.broadcast_to(jnp.asarray(q2, x.dtype), x.shape)
+    def _interp(self, pdg, x, q2):
+        """Interior log-bicubic evaluation; out-of-range clamps to edge."""
         lx = jnp.log(jnp.clip(x, 1e-300, None))
         lq = jnp.log(jnp.clip(q2, 1e-300, None))
         out = jnp.zeros_like(x)
@@ -191,3 +259,39 @@ class LHAPDFGrid:
             out = jnp.where(take, sg.eval(fidx, lx, lq).astype(x.dtype), out)
             chosen = chosen | take
         return out
+
+    def xfxQ2(self, pdg, x, q2, extrapolation=None):
+        pdg = int(pdg)
+        x = jnp.atleast_1d(x)
+        q2 = jnp.broadcast_to(jnp.asarray(q2, x.dtype), x.shape)
+        mode = extrapolation or self.extrapolation
+        if mode == "nearest":
+            return self._interp(pdg, x, q2)
+        if mode != "continuation":
+            raise ValueError(f"unknown extrapolation policy {mode!r}")
+
+        x_min, q2_min, q2_max = self.x_min, self.q2_min, self.q2_max
+        x_lo = x < x_min
+        q_lo = q2 < q2_min
+        q_hi = q2 > q2_max
+        lx = jnp.log(jnp.clip(x, 1e-300, None))
+        lx_a = math.log(x_min)
+        lx_b = math.log(1.01 * x_min)
+
+        def with_x_continuation(q2v):
+            fi = self._interp(pdg, x, q2v)
+            fa = self._interp(pdg, jnp.full_like(x, x_min), q2v)
+            fb = self._interp(pdg, jnp.full_like(x, 1.01 * x_min), q2v)
+            fe = _extrapolate_linear(lx, lx_a, lx_b, fa, fb)
+            return jnp.where(x_lo, fe, fi)
+
+        f_mid = with_x_continuation(jnp.clip(q2, q2_min, q2_max))
+        # Q2 anchors: below-range extrapolates down from (q2_min,
+        # 1.01*q2_min); above-range up from (0.99*q2_max, q2_max)
+        q2a = jnp.where(q_lo, q2_min, 0.99 * q2_max)
+        q2b = jnp.where(q_lo, 1.01 * q2_min, q2_max)
+        ga = with_x_continuation(q2a)
+        gb = with_x_continuation(q2b)
+        lq = jnp.log(jnp.clip(q2, 1e-300, None))
+        f_ext_q = _extrapolate_linear(lq, jnp.log(q2a), jnp.log(q2b), ga, gb)
+        return jnp.where(q_lo | q_hi, f_ext_q, f_mid)

@@ -8,12 +8,23 @@ fuses on device:
 
   * :class:`ToyPDF` — a CTEQ-like analytic parametrization, fully traceable;
     good for tests and benchmarks.
-  * :class:`GridPDF` — bilinear interpolation of a tabulated (log x, log Q2)
-    grid; build one from any LHAPDF member via :func:`GridPDF.from_lhapdf`
-    (host-side, once, outside jit) or from raw arrays.
+  * :class:`~nf_tpu.phasespace.lhapdf_reader.LHAPDFGrid` — THE canonical
+    on-device tabulated PDF (log-bicubic, LHAPDF6's interpolation family):
+    parse a real ``.dat`` member with ``LHAPDFGrid.from_dat`` or tabulate
+    any host PDF with ``LHAPDFGrid.from_tabulated``.
+  * :class:`GridPDF` — a thin constructor adapter over ``LHAPDFGrid`` kept
+    for the old raw-array API (the separate bilinear interpolator it used
+    to carry was strictly less accurate and was removed in r3; there is
+    one interpolation path now).
   * :class:`CallbackPDF` — escape hatch wrapping a host PDF via
     ``jax.pure_callback`` (works under jit, breaks fusion; mirrors the
     reference's behavior).
+
+Accuracy hierarchy (cross-tested in test_vegas_experiment.py /
+test_lhapdf_reader.py): an analytic form (ToyPDF) is exact; LHAPDFGrid /
+GridPDF carry the cubic truncation error of the tabulation (~1e-3 rel at
+LHAPDF-like knot densities); CallbackPDF is exact w.r.t. the host PDF but
+forces a host round-trip per batch.
 
 All return x*f(x) from ``xfxQ2`` like LHAPDF, and the generator divides by x
 (reference flat_phase_space_generator.py:137).
@@ -25,6 +36,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from nf_tpu.phasespace.lhapdf_reader import LHAPDFGrid  # noqa: F401
 
 
 class ToyPDF:
@@ -52,18 +65,23 @@ class ToyPDF:
         return n * x ** a * (1.0 - x) ** b
 
 
-class GridPDF:
-    """Bilinear interpolation of x*f(x) on a (log x, log Q2) grid.
-
-    ``grids`` maps pdg -> [n_x, n_q2] arrays of x*f values sampled at
-    ``xs`` x ``q2s``.  Interpolation is in (log x, log Q2), clamped at the
-    grid edges; fully jittable.
+class GridPDF(LHAPDFGrid):
+    """Tabulated on-device PDF from raw ``(xs, q2s, {pdg: [n_x, n_q2]})``
+    arrays — a constructor adapter over the canonical
+    :class:`~nf_tpu.phasespace.lhapdf_reader.LHAPDFGrid` log-bicubic
+    interpolator (the redundant bilinear path was removed in r3; see the
+    module docstring for the accuracy hierarchy).
     """
 
-    def __init__(self, xs, q2s, grids: dict):
-        self.log_xs = jnp.asarray(np.log(np.asarray(xs)))
-        self.log_q2s = jnp.asarray(np.log(np.asarray(q2s)))
-        self.grids = {int(k): jnp.asarray(v) for k, v in grids.items()}
+    def __init__(self, xs, q2s, grids: dict, extrapolation="continuation"):
+        flavors = np.asarray(sorted(int(k) for k in grids), dtype=np.int64)
+        values = np.stack(
+            [np.asarray(grids[int(f)], dtype=np.float64) for f in flavors],
+            axis=-1)
+        qs = np.sqrt(np.asarray(q2s, dtype=np.float64))
+        super().__init__(
+            [(np.asarray(xs, dtype=np.float64), qs, flavors, values)],
+            extrapolation=extrapolation)
 
     @classmethod
     def from_lhapdf(cls, pdf, pdgs, n_x=128, n_q2=32,
@@ -79,25 +97,6 @@ class GridPDF:
                     g[i, j] = pdf.xfxQ2(int(pdg), float(x), float(q2))
             grids[int(pdg)] = g
         return cls(xs, q2s, grids)
-
-    def xfxQ2(self, pdg, x, q2):
-        grid = self.grids[int(pdg)]
-        lx = jnp.log(jnp.clip(x, 1e-300, None))
-        lq = jnp.log(jnp.clip(jnp.broadcast_to(q2, x.shape), 1e-300, None))
-
-        def locate(vals, axis_pts):
-            i = jnp.clip(jnp.searchsorted(axis_pts, vals) - 1, 0, axis_pts.shape[0] - 2)
-            t = (vals - axis_pts[i]) / (axis_pts[i + 1] - axis_pts[i])
-            return i, jnp.clip(t, 0.0, 1.0)
-
-        ix, tx = locate(lx, self.log_xs)
-        iq, tq = locate(lq, self.log_q2s)
-        g00 = grid[ix, iq]
-        g10 = grid[ix + 1, iq]
-        g01 = grid[ix, iq + 1]
-        g11 = grid[ix + 1, iq + 1]
-        return ((1 - tx) * (1 - tq) * g00 + tx * (1 - tq) * g10
-                + (1 - tx) * tq * g01 + tx * tq * g11)
 
 
 class CallbackPDF:

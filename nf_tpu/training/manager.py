@@ -44,6 +44,45 @@ def _var(x, ddof=1):
     return jnp.var(x, ddof=ddof)
 
 
+class _SamplerCache:
+    """Bounded cache of compiled samplers, anchored by object identity.
+
+    Entries hold STRONG references to the objects whose ``id()`` appears in
+    the key (params pytrees, integrands), so a recycled id can never alias a
+    dead object; lookups additionally verify ``is`` identity and drop stale
+    entries.  FIFO eviction bounds both the number of retained executables
+    and the params kept alive by the anchors.  ``clear()`` is called whenever
+    the manager rebinds its params (training end, create_model, checkpoint
+    load), so retrained weights can never hit a stale compiled sampler.
+    """
+
+    def __init__(self, maxsize=16):
+        self._d = {}
+        self._maxsize = maxsize
+
+    def get(self, key, anchors):
+        entry = self._d.get(key)
+        if entry is None:
+            return None
+        fn, stored = entry
+        if len(stored) != len(anchors) or \
+                any(a is not b for a, b in zip(stored, anchors)):
+            del self._d[key]  # id collision after GC: stale entry
+            return None
+        return fn
+
+    def put(self, key, fn, anchors):
+        if key not in self._d and len(self._d) >= self._maxsize:
+            self._d.pop(next(iter(self._d)))
+        self._d[key] = (fn, tuple(anchors))
+
+    def clear(self):
+        self._d.clear()
+
+    def __len__(self):
+        return len(self._d)
+
+
 class ModelAPI:
     @property
     def model(self):
@@ -70,7 +109,7 @@ class BasicManager(ModelAPI):
         self.best_loss = None
         self.best_eval_mode = False      # see tail-integration note below
         self._mesh = None
-        self._sampler_cache = {}         # (method, n, ids) -> jitted sampler
+        self._sampler_cache = _SamplerCache()  # identity-anchored, bounded
 
     # -- plumbing ----------------------------------------------------------
 
@@ -88,31 +127,41 @@ class BasicManager(ModelAPI):
     def _resolve_method(self, method, train):
         """Pick the sampling path for a production endpoint.
 
-        ``None`` (auto): on TPU, use the fused Pallas kernel (eval-mode map
-        — exactly unbiased; a deliberate, documented divergence from the
-        reference's train-mode-BatchNorm sampling quirk, manager.py:397)
-        unless train mode was explicitly requested; elsewhere keep the
-        reference-parity stateful forward.  Explicit 'fused' / 'folded' /
-        'reference' force a path on any backend (the fused kernel runs in
-        interpret mode off-TPU).
+        ``None`` / ``'auto'``: on TPU, use the fused Pallas kernel
+        (eval-mode map — exactly unbiased; a deliberate, documented
+        divergence from the reference's train-mode-BatchNorm sampling quirk,
+        manager.py:397; see PARITY.md) unless train mode was explicitly
+        requested; elsewhere keep the reference-parity stateful forward.
+        Explicit 'fused' / 'folded' / 'reference' force a path on any
+        backend (the fused kernel runs in interpret mode off-TPU);
+        'stateful' is accepted as an alias for 'reference'.  Anything else
+        raises (typos must not silently select the slow path).
         """
-        if method is not None:
-            return method
-        from nf_tpu.flows.sampling import supported_by_kernel
-        if train is not True and jax.default_backend() == "tpu" \
-                and supported_by_kernel(self._flow):
-            return "fused"
-        return "reference"
+        if method in (None, "auto"):
+            from nf_tpu.flows.sampling import supported_by_kernel
+            if train is not True and jax.default_backend() == "tpu" \
+                    and supported_by_kernel(self._flow):
+                return "fused"
+            return "reference"
+        if method == "stateful":
+            return "reference"
+        if method not in ("fused", "folded", "reference"):
+            raise ValueError(
+                f"unknown sampling method {method!r}; expected one of "
+                "None/'auto', 'fused', 'folded', 'reference'/'stateful' "
+                "(or 'qmc' for integrate())")
+        return method
 
     def _fast_sampler(self, n, method, params_pair):
         from nf_tpu.flows import sampling as fsampling
+        anchors = params_pair
         cache_key = (method, n, id(params_pair[0]), id(params_pair[1]))
-        fn = self._sampler_cache.get(cache_key)
+        fn = self._sampler_cache.get(cache_key, anchors)
         if fn is None:
             fn = fsampling.make_sampler(
                 self._flow, params_pair[0], params_pair[1], n,
                 method=method, dtype=self.dtype)
-            self._sampler_cache[cache_key] = fn
+            self._sampler_cache.put(cache_key, fn, anchors)
         return fn
 
     def sample(self, n, key=None, params=None, train=None, method=None):
@@ -592,6 +641,9 @@ class BasicManager(ModelAPI):
         if pbar is not None:
             pbar.close()
         self._params, self._bn_state = params, bn_state
+        # params were rebound: drop every compiled sampler built on the old
+        # weights so endpoints can never serve a stale executable
+        self._sampler_cache.clear()
         # full resumable training state (see save_training_state)
         self._opt_state = opt_state
         self._maxf = maxf
@@ -683,8 +735,9 @@ class BasicManager(ModelAPI):
         n_flow, dtype = self.n_flow, self.dtype
         if method == "qmc":
             from nf_tpu.utils import qmc
+            anchors = (f, params, bn_state)
             cache_key = ("qmc_eval", id(f), id(params), id(bn_state))
-            eval_mean = self._sampler_cache.get(cache_key)
+            eval_mean = self._sampler_cache.get(cache_key, anchors)
             if eval_mean is None:
                 from nf_tpu.flows.sampling import supported_by_kernel
                 if jax.default_backend() == "tpu" \
@@ -707,7 +760,7 @@ class BasicManager(ModelAPI):
                     x, jacv = map_pts(w)
                     return jnp.mean(f(x) * jacv)
 
-                self._sampler_cache[cache_key] = eval_mean
+                self._sampler_cache.put(cache_key, eval_mean, anchors)
             base = seed if seed is not None else int(
                 jax.random.randint(self._next_key(), (), 0, 2 ** 31 - 1))
             sig, sig_err, _ = qmc.rqmc_integrate(
@@ -716,9 +769,10 @@ class BasicManager(ModelAPI):
             return (sig, sig_err)
         method = self._resolve_method(method, None)
 
+        anchors = (f, params, bn_state)
         cache_key = ("integrate", id(f), nitn, neval, method, combine,
                      id(params), id(bn_state), train_mode)
-        run_all = self._sampler_cache.get(cache_key)
+        run_all = self._sampler_cache.get(cache_key, anchors)
         if run_all is None:
             if method == "fused":
                 # single kernel launch for all nitn*neval samples; the
@@ -765,7 +819,7 @@ class BasicManager(ModelAPI):
                         / math.sqrt(neval * nitn)
                 return sig, sig_err
 
-            self._sampler_cache[cache_key] = run_all
+            self._sampler_cache.put(cache_key, run_all, anchors)
 
         sig, sig_err = run_all(key)
         return (float(sig), float(sig_err))
@@ -860,6 +914,7 @@ class BasicManager(ModelAPI):
         self.best_params = (data["params"], data["bn_state"])
         self._params = data["params"]
         self._bn_state = data["bn_state"]
+        self._sampler_cache.clear()
         return data.get("meta")
 
     # -- warm-up forward (reference manager.py:592-598) ----------------------
@@ -879,6 +934,7 @@ class AffineManager(BasicManager):
             self._next_key(), self.n_flow, n_pass_through, n_cells,
             tuple(NN), roll_step, self.dtype)
         self.best_params = (self._params, self._bn_state)
+        self._sampler_cache.clear()
         self._warmup(10)
 
 
@@ -891,6 +947,7 @@ class PWLinManager(BasicManager):
             self._next_key(), self.n_flow, n_pass_through, n_cells, n_bins,
             tuple(NN), roll_step, self.dtype)
         self.best_params = (self._params, self._bn_state)
+        self._sampler_cache.clear()
         self._warmup(5)
 
 
@@ -903,4 +960,5 @@ class PWQuadManager(BasicManager):
         self._flow, self._params, self._bn_state = factory.build_pwquad_flow(
             self._next_key(), self.n_flow, n_cells, n_bins, tuple(NN), self.dtype)
         self.best_params = (self._params, self._bn_state)
+        self._sampler_cache.clear()
         self._warmup(5)

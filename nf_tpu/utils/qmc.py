@@ -33,9 +33,13 @@ def sobol_latents(n, dim, seed, dtype=np.float64):
     eng = qmc.Sobol(dim, scramble=True, seed=seed)
     pts = eng.random_base2(m)
     # keep strictly inside (0, 1): the flow clamps at 1 - 1e-6 anyway, but
-    # exact 0/1 corners can hit log/0-width edges in f64
-    eps = np.finfo(np.float32).tiny
-    return np.clip(pts, eps, 1.0 - 1e-9).astype(dtype)
+    # exact 0/1 corners can hit log/0-width edges.  The upper bound must be
+    # dtype-aware — clipping to 1-1e-9 *before* an f32 cast rounds back to
+    # exactly 1.0 — so clip after the cast to the largest value below 1.
+    dtype = np.dtype(dtype)
+    eps = np.finfo(dtype).tiny
+    upper = np.nextafter(dtype.type(1.0), dtype.type(0.0))
+    return np.clip(pts.astype(dtype), eps, upper)
 
 
 def rqmc_integrate(eval_mean, n_flow, nitn, neval, seed, dtype=np.float64):

@@ -59,3 +59,15 @@ def test_qmc_integrate_trained_flow():
     exact = camel_exact()
     assert abs(sig - exact) < 8 * err + 2e-3 * exact
     assert err < 1e-3  # trained map + QMC: sub-permille standard error
+
+
+def test_sobol_latents_strictly_below_one_f32():
+    """The (0,1) guard must survive the f32 cast (ADVICE r2: clipping to
+    1-1e-9 before an f32 cast rounds to exactly 1.0)."""
+    import numpy as np
+    from nf_tpu.utils.qmc import sobol_latents
+    for dt in (np.float32, np.float64):
+        pts = sobol_latents(4096, 5, seed=3, dtype=dt)
+        assert pts.dtype == np.dtype(dt)
+        assert pts.max() < dt(1.0)
+        assert pts.min() > 0.0

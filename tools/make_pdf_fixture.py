@@ -1,11 +1,22 @@
 """Generate a small LHAPDF6-format (lhagrid1) member file fixture.
 
 The environment has no lhapdf wheel and no network, so the test fixture is
-synthesized from a smooth analytic x*f(x, Q2) sampled at the knots of a
+synthesized from an analytic x*f(x, Q2) sampled at the knots of a
 two-subgrid layout (the standard LHAPDF6 structure: subgrids partition the
 Q range and share boundary knots).  Tests parse the file with
 nf_tpu.phasespace.lhapdf_reader and check the interpolated values against
 the analytic form off-knot.
+
+The fixture is deliberately ADVERSARIAL (VERDICT r2): it reproduces the
+real-grid pathologies a smooth toy would hide —
+
+  * flavor 3 goes NEGATIVE below x ~ 1e-2 (the NLO-gluon small-x
+    pathology) and its ln-Q2 slope DOUBLES at the Q=10 subgrid boundary (a
+    non-differentiable boundary, like an alpha_s matching point);
+  * flavors 4 (charm) and 5 (bottom) switch on at Q = m_c = sqrt(2) GeV
+    and Q = m_b = 4.75 GeV with forced Q knots exactly at the thresholds
+    (x*f = 0 below, ~ln(Q2/m2) growth above — continuous, kinked);
+  * flavors [-2, -1, 21, 1, 2] stay smooth (the accuracy-baseline set).
 
 Run: python tools/make_pdf_fixture.py  (rewrites tests/data/toypdf_0000.dat)
 """
@@ -14,9 +25,13 @@ import os
 
 import numpy as np
 
-FLAVORS = [-2, -1, 21, 1, 2]
+FLAVORS = [-2, -1, 21, 1, 2, 3, 4, 5]
 
-# pdg -> (A, a, b, c): x*f = A * x^a * (1-x)^b * (1 + c*ln Q2)
+Q_BOUNDARY = 10.0     # subgrid boundary (GeV)
+M_C = np.sqrt(2.0)    # charm threshold (GeV) — forced knot
+M_B = 4.75            # bottom threshold (GeV) — forced knot
+
+# pdg -> (A, a, b, c): x*f = A * x^a * (1-x)^b * (1 + c*ln Q2)  (smooth set)
 PARAMS = {
     21: (3.0, -0.2, 5.0, 0.08),
     1: (0.7, 0.5, 4.0, 0.05),
@@ -27,6 +42,23 @@ PARAMS = {
 
 
 def xf(pdg, x, q2):
+    x = np.asarray(x, dtype=np.float64)
+    q2 = np.asarray(q2, dtype=np.float64)
+    if pdg == 3:
+        # negative below x ~ 1e-2; ln-Q2 slope doubles above the subgrid
+        # boundary (continuous value, discontinuous derivative)
+        c = 0.06
+        lnq2 = np.log(q2)
+        lnb = 2.0 * np.log(Q_BOUNDARY)
+        qfac = np.where(q2 <= Q_BOUNDARY ** 2,
+                        1.0 + c * lnq2,
+                        1.0 + c * lnb + 2.0 * c * (lnq2 - lnb))
+        return (0.2 * x ** -0.1 - 0.1 * x ** -0.25) * (1.0 - x) ** 6 * qfac
+    if pdg in (4, 5):
+        m2 = (M_C if pdg == 4 else M_B) ** 2
+        A = 0.4 if pdg == 4 else 0.25
+        grow = np.maximum(0.0, np.log(q2 / m2))
+        return A * x ** -0.1 * (1.0 - x) ** 7 * grow
     A, a, b, c = PARAMS[pdg]
     return A * x ** a * (1.0 - x) ** b * (1.0 + c * np.log(q2))
 
@@ -51,7 +83,10 @@ def main():
     # x*f falls like (1-x)^b there, too steep for wide log-x cells)
     xs = np.concatenate([np.geomspace(1e-5, 0.5, 72),
                          1.0 - np.geomspace(0.5, 0.002, 41)[1:]])
-    qs1 = np.geomspace(1.0, 10.0, 16)
+    # forced knots at the flavor thresholds (real grids do the same so the
+    # kinked switch-on never sits inside an interpolation cell)
+    qs1 = np.unique(np.concatenate([np.geomspace(1.0, 10.0, 16),
+                                    [M_C, M_B]]))
     qs2 = np.geomspace(10.0, 1000.0, 24)
     lines = ["PdfType: central", "Format: lhagrid1", "---"]
     lines += subgrid_block(xs, qs1)
