@@ -412,6 +412,38 @@ def build_sampler(flow, params, state, interpret: bool = False,
     return sample
 
 
+def estimate_vpu_ops(flow, exp_cost=8, atan_cost=20):
+    """Static estimate of VPU element-ops per sample for the fused kernel.
+
+    Counts one op per elementwise instruction per sample position (FMA = 1)
+    with transcendental lowering costs ``exp_cost``/``atan_cost`` (Mosaic
+    expands exp/atan into ~8/~20-op polynomial sequences).  Accuracy is
+    ~±30% — the point is the roofline ORDER: dividing the measured
+    samples/s by this count gives sustained element-ops/s to compare
+    against the VPU issue-rate peak (8 sublanes x 128 lanes x ~4 ops/cycle
+    x ~0.94 GHz ~= 3.9e12/s on v5e).  See BENCH kernel_roofline.
+    """
+    total = 3 * flow.n_flow  # PRNG bits -> uniform per dimension
+    for cfg in flow.cells:
+        t = flow.flow_size - cfg.pass_through if hasattr(flow, "flow_size") \
+            else cfg.flow_size - cfg.pass_through
+        # conditioner MLP: fan_in*fan_out FMAs + bias + ReLU per layer
+        dims = [cfg.pass_through] + list(cfg.nn_sizes)
+        sizes = list(zip(dims[:-1], dims[1:]))
+        for fi, fo in sizes:
+            total += fi * fo + fo
+        total += sum(fo for _, fo in sizes[:-1])  # ReLU
+        nb = cfg.n_bins
+        if cfg.kind == "pwquad":
+            per_dim = exp_cost * (2 * nb + 1) + 5 * nb + 12 + 8 * nb + 12
+        elif cfg.kind == "pwlin":
+            per_dim = exp_cost * nb + 8 * nb + 12
+        else:
+            per_dim = exp_cost + atan_cost + 12
+        total += t * (per_dim + 1)  # + jacobian multiply
+    return total
+
+
 def make_jit_sampler(flow, params, state, n, interpret=False,
                      tile_sub=DEFAULT_SUB):
     """Jitted fixed-size sampler: ``f(seed) -> (x, jac)``."""

@@ -29,6 +29,63 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Empirical per-program width ceiling for this class of vmapped training
+# programs: runs x mini_batch sample rows.  64 runs x batch 10000 (640k
+# rows) reproducibly faulted the remote v5e runtime in r2 — the failure is
+# NOT a host-visible OOM (the allocator estimate below stays far under the
+# HBM budget); the worker process dies mid-program ("remote TPU worker
+# terminated", connection reset) which is consistent with a runtime/DMA
+# limit rather than memory pressure.  160k rows (16 x 10000) is long-term
+# stable; the ceiling keeps 2x headroom below the observed fault point.
+MAX_SAMPLE_ROWS_PER_CALL = 320_000
+
+
+def _tree_bytes(tree):
+    return sum(np.prod(l.shape) * l.dtype.itemsize
+               for l in jax.tree.leaves(tree))
+
+
+def estimate_run_bytes(flow, params, bn_state, mini_batch_size,
+                       n_minibatches, epochs, dtype=jnp.float32):
+    """Rough live-memory estimate (bytes) for ONE ensemble run.
+
+    Components: params (live + best snapshot + 2x Adamax slots + the
+    per-minibatch gradient stack emitted by the inner scan), BatchNorm
+    state (live + snapshot), the 5 scalar per-epoch scan outputs, and the
+    dominant transient — forward activations retained for the backward
+    pass, ~(sum of conditioner widths + a few per-dim temporaries) floats
+    per sample.  Order-of-magnitude is all the auto-sizer needs.
+    """
+    p_bytes = _tree_bytes(params)
+    b_bytes = _tree_bytes(bn_state)
+    itemsize = jnp.dtype(dtype).itemsize
+    act_per_sample = 0
+    for cfg in flow.cells:
+        act_per_sample += sum(cfg.nn_sizes) + 6 * flow.n_flow
+    act_bytes = 3 * mini_batch_size * act_per_sample * itemsize
+    return (p_bytes * (2 + 2 + n_minibatches) + 2 * b_bytes
+            + 5 * epochs * itemsize + act_bytes)
+
+
+def auto_runs_per_call(flow, params, bn_state, mini_batch_size,
+                       n_minibatches, epochs, n_runs, dtype=jnp.float32,
+                       hbm_budget_bytes=None):
+    """Derive the vmapped group size from the device memory budget AND the
+    empirical runtime-stability ceiling (see MAX_SAMPLE_ROWS_PER_CALL)."""
+    if hbm_budget_bytes is None:
+        stats = {}
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+        except Exception:
+            pass
+        limit = stats.get("bytes_limit", 16 * 1024 ** 3)
+        hbm_budget_bytes = int(0.4 * limit)
+    per_run = estimate_run_bytes(flow, params, bn_state, mini_batch_size,
+                                 n_minibatches, epochs, dtype)
+    by_mem = max(int(hbm_budget_bytes // max(per_run, 1)), 1)
+    by_rows = max(MAX_SAMPLE_ROWS_PER_CALL // max(mini_batch_size, 1), 1)
+    return max(min(by_mem, by_rows, n_runs), 1)
+
 
 def stack_ensemble(init_fn, key, n_runs):
     """Stack per-run (params, state) pytrees along a leading run axis.
@@ -48,7 +105,7 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
                    batch_size=1000, epochs=50, mini_batch_size=None,
                    preburn_time=0, kill_counter=7, loss_mode="var",
                    select_best_by="loss", pathwise=False, dtype=None,
-                   runs_per_call=16):
+                   runs_per_call="auto", verbose=False):
     """Train ``n_runs`` flows simultaneously; returns a result dict.
 
     ``params_stack``/``bn_stack``: pytrees with a leading run axis (from
@@ -63,9 +120,14 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
       (reference manager.py:349-350); ``int_loss`` — phase-A losses.
 
     ``runs_per_call`` bounds how many runs execute in one device program
-    (groups are looped on host and results re-stacked): very wide vmapped
-    ensembles have crashed the remote-TPU runtime (observed at 64 runs x
-    batch 10000), and the grouping costs nothing when n_runs is small.
+    (groups are looped on host and results re-stacked).  ``"auto"``
+    (default) derives the group size from a per-run live-memory estimate
+    (:func:`estimate_run_bytes`) against ~40% of the device HBM, capped by
+    the empirical runtime-stability ceiling
+    (:data:`MAX_SAMPLE_ROWS_PER_CALL` — very wide vmapped ensembles fault
+    the remote-TPU runtime well below the memory bound; signature
+    documented there).  An int forces a size; ``None`` disables grouping.
+    The result dict reports the chosen ``group_size``.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -207,6 +269,15 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
 
     run_keys = jax.random.split(key, n_runs)
     step = jax.jit(jax.vmap(train_one))
+    if runs_per_call == "auto":
+        runs_per_call = auto_runs_per_call(
+            flow, run_index(params_stack, 0), run_index(bn_stack, 0),
+            mini_batch_size, n_minibatches, epochs, n_runs, dtype)
+        if verbose:
+            print(f"train_ensemble: auto group size {runs_per_call} "
+                  f"({n_runs} runs, mini_batch {mini_batch_size})")
+    group_size = n_runs if runs_per_call is None else min(runs_per_call,
+                                                          n_runs)
     if runs_per_call is None or n_runs <= runs_per_call:
         outs = step(params_stack, bn_stack, run_keys)
     else:
@@ -229,6 +300,7 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
         "integ_tot": np.asarray(integ_tot),
         "err_tot": np.asarray(err_tot),
         "int_loss": np.asarray(int_loss),
+        "group_size": group_size,
     }
 
 

@@ -103,3 +103,43 @@ def test_ensemble_grouping_matches_single_call():
     np.testing.assert_allclose(r_grp["history"], r_all["history"], rtol=1e-12)
     np.testing.assert_allclose(np.asarray(r_grp["best_loss"]),
                                np.asarray(r_all["best_loss"]), rtol=1e-12)
+
+
+def test_auto_group_size():
+    """runs_per_call='auto' derives the group size from the memory estimate
+    and the empirical sample-row ceiling (VERDICT r2 weak #4)."""
+    from nf_tpu.training.ensemble import (auto_runs_per_call,
+                                          estimate_run_bytes,
+                                          MAX_SAMPLE_ROWS_PER_CALL)
+    flow, p_stack, s_stack = _ensemble(2)
+    p0, s0 = run_index(p_stack, 0), run_index(s_stack, 0)
+
+    per_run = estimate_run_bytes(flow, p0, s0, 10000, 1, 50)
+    assert per_run > 0
+
+    # the r2 crash config: 64 runs x mini_batch 10000 -> the row ceiling
+    # must cap the group well below 64 regardless of memory
+    g = auto_runs_per_call(flow, p0, s0, 10000, 1, 50, 64)
+    assert g <= MAX_SAMPLE_ROWS_PER_CALL // 10000
+    assert g >= 1
+    # tiny batches: memory/row limits don't bind, use all runs
+    g_small = auto_runs_per_call(flow, p0, s0, 100, 1, 10, 8)
+    assert g_small == 8
+
+
+def test_ensemble_auto_grouping_completes_64_runs():
+    """A 64-run sweep completes via automatic grouping with the chosen
+    group size reported (VERDICT r2 item 6 'Done' criterion; tiny epochs
+    keep the CPU cost low — the TPU-scale version is exercised in
+    tools/ensemble_stress.py)."""
+    flow, p_stack, s_stack = _ensemble(64)
+    opt = optimizers.adamax(3e-3)
+    res = train_ensemble(flow, p_stack, s_stack, camel, opt,
+                         jax.random.PRNGKey(5), batch_size=6000, epochs=2,
+                         preburn_time=0, kill_counter=100)
+    assert res["history"].shape == (64, 2)
+    assert res["group_size"] >= 1
+    # the row ceiling binds: 64 x 6000 = 384k rows > MAX_SAMPLE_ROWS
+    from nf_tpu.training.ensemble import MAX_SAMPLE_ROWS_PER_CALL
+    assert res["group_size"] <= MAX_SAMPLE_ROWS_PER_CALL // 6000
+    assert np.isfinite(np.asarray(res["best_loss"])).all()

@@ -71,3 +71,54 @@ def test_sobol_latents_strictly_below_one_f32():
         assert pts.dtype == np.dtype(dt)
         assert pts.max() < dt(1.0)
         assert pts.min() > 0.0
+
+
+def test_device_sobol_matches_scipy_unscrambled():
+    """The on-device gray-code XOR ladder reproduces scipy's unscrambled
+    Sobol sequence bit-exactly (same Joe-Kuo direction numbers)."""
+    import numpy as np
+    from scipy.stats import qmc as sq
+    from nf_tpu.utils.qmc import make_device_sobol
+    n, dim = 256, 5
+    gen = make_device_sobol(dim, scramble=False)
+    dev = np.asarray(gen(n, 0))
+    host = sq.Sobol(dim, scramble=False, bits=32).random(n)
+    # device uses the top 24 bits + half-ulp centering
+    np.testing.assert_allclose(dev, host, atol=2.0 ** -24)
+
+
+def test_device_sobol_owen_scramble_preserves_net():
+    """Owen scrambling must preserve the digital-net property: in every
+    dimension, the first 2^m points land one per dyadic interval of size
+    2^-m; and different seeds give different point sets."""
+    import numpy as np
+    from nf_tpu.utils.qmc import make_device_sobol
+    n, dim = 512, 4
+    gen = make_device_sobol(dim, scramble=True)
+    a = np.asarray(gen(n, 12345))
+    b = np.asarray(gen(n, 999))
+    assert (a > 0).all() and (a < 1).all()
+    assert np.abs(a - b).max() > 0.1  # genuinely different scramblings
+    for d in range(dim):
+        counts = np.bincount((a[:, d] * n).astype(int), minlength=n)
+        assert (counts == 1).all(), f"dim {d}: not a (0,m,1)-net"
+
+
+def test_device_rqmc_integrates_and_beats_mc():
+    import numpy as np
+    import jax.numpy as jnp
+    from nf_tpu.utils.qmc import rqmc_integrate_device, rqmc_integrate
+
+    def eval_mean(w):
+        # smooth separable integrand, exact integral = 1
+        return jnp.mean(jnp.prod(1.0 + 0.5 * (2.0 * w - 1.0), axis=1))
+
+    sig, err, n = rqmc_integrate_device(eval_mean, 3, 8, 4096, seed=7)
+    assert n == 4096
+    assert abs(sig - 1.0) < max(6 * err, 2e-4)
+    # error comparable to the host Owen-scrambled generator's
+    sig_h, err_h, _ = rqmc_integrate(eval_mean, 3, 8, 4096, 7,
+                                     dtype=np.float32)
+    assert err < 20 * max(err_h, 1e-7)
+    # and far below the MC sigma/sqrt(N) for this integrand (~1.5e-3)
+    assert err < 5e-4
