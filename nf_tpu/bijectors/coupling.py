@@ -24,6 +24,25 @@ import jax.numpy as jnp
 from nf_tpu.bijectors import conditioner
 
 
+def take_bin(arr, b, axis):
+    """``take_along_axis(arr, b, axis)`` with the indexed axis reduced away,
+    computed as a one-hot masked sum.
+
+    Semantically identical (b selects exactly one slot; adding exact zeros
+    changes nothing, and the vjp flows to the same slot), but on TPU the
+    per-lane gather lowering serializes while the masked sum is dense VPU
+    work — measured 4.7x faster per coupling cell at 2M samples, which is
+    what sets the training-step and non-Pallas sampling throughput.  Only
+    sensible for a small static bin count (cost is O(n_bins) elementwise).
+    ``b`` must broadcast against ``arr`` with a singleton at ``axis``.
+    """
+    nb = arr.shape[axis]
+    shape = [1] * arr.ndim
+    shape[axis] = nb
+    ar = jnp.arange(nb).reshape(shape)
+    return jnp.sum(jnp.where(ar == b, arr, 0), axis=axis)
+
+
 # ---------------------------------------------------------------------------
 # Affine coupling (reference coupling_cells.py:6-70)
 # ---------------------------------------------------------------------------
@@ -76,8 +95,8 @@ def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: 
     alphas = (alphas - bins) / n_bins
     bins = bins.astype(jnp.int32)
 
-    cdf_int = jnp.take_along_axis(qsum, bins[:, :, None], axis=-1)[:, :, 0]
-    cdf_flt = jnp.take_along_axis(q, bins[:, :, None], axis=-1)[:, :, 0]
+    cdf_int = take_bin(qsum, bins[:, :, None], axis=-1)
+    cdf_flt = take_bin(q, bins[:, :, None], axis=-1)
     yB = cdf_flt * alphas + cdf_int
 
     jac = jac * jnp.prod(cdf_flt, axis=-1)
@@ -116,8 +135,8 @@ def pwquad_compute(v_raw, w_raw, xB):
     b = jnp.minimum(b, n_bins - 1)[:, :, None]
 
     wsum2 = jnp.concatenate([jnp.zeros_like(wsum[:, :, :1]), wsum], axis=-1)
-    w_b = jnp.take_along_axis(w, b, axis=-1)[:, :, 0]
-    edge_b = jnp.take_along_axis(wsum2, b, axis=-1)[:, :, 0]
+    w_b = take_bin(w, b, axis=-1)
+    edge_b = take_bin(wsum2, b, axis=-1)
     alphas = (xB - edge_b) / w_b
 
     # CDF value at the left edge of each bin (trapezoid cumsum of the
@@ -127,9 +146,9 @@ def pwquad_compute(v_raw, w_raw, xB):
          jnp.cumsum((v[:, :, :-1] + v[:, :, 1:]) * 0.5 * w, axis=-1)],
         axis=-1,
     )
-    shift = jnp.take_along_axis(vw, b, axis=-1)[:, :, 0]
-    v_lo = jnp.take_along_axis(v, b, axis=-1)[:, :, 0]
-    v_hi = jnp.take_along_axis(v, b + 1, axis=-1)[:, :, 0]
+    shift = take_bin(vw, b, axis=-1)
+    v_lo = take_bin(v, b, axis=-1)
+    v_hi = take_bin(v, b + 1, axis=-1)
 
     yB = 0.5 * alphas**2 * (v_hi - v_lo) * w_b + alphas * v_lo * w_b + shift
     pdf_vals = v_lo + (v_hi - v_lo) * alphas      # lerp(v_lo, v_hi, alpha)
@@ -201,8 +220,8 @@ def pwlin_inverse(params, state, y, jac, pass_through: int, n_bins: int,
 
     b = jnp.sum((qsum <= yB[:, :, None]).astype(jnp.int32), axis=-1)
     b = jnp.minimum(b, n_bins - 1)[:, :, None]
-    cdf_lo = jnp.take_along_axis(qsum2, b, axis=-1)[:, :, 0]
-    q_b = jnp.take_along_axis(q, b, axis=-1)[:, :, 0]
+    cdf_lo = take_bin(qsum2, b, axis=-1)
+    q_b = take_bin(q, b, axis=-1)
 
     alphas = (yB - cdf_lo) / q_b                    # in [0, 1/n_bins)
     xB = (b[:, :, 0].astype(yB.dtype) + alphas * n_bins) / n_bins
@@ -238,11 +257,11 @@ def pwquad_invert(v_raw, w_raw, yB):
     b = jnp.minimum(b, n_bins - 1)[:, :, None]
 
     wsum2 = jnp.concatenate([jnp.zeros_like(wsum[:, :, :1]), wsum], axis=-1)
-    w_b = jnp.take_along_axis(w, b, axis=-1)[:, :, 0]
-    edge_b = jnp.take_along_axis(wsum2, b, axis=-1)[:, :, 0]
-    vw_b = jnp.take_along_axis(vw, b, axis=-1)[:, :, 0]
-    v_lo = jnp.take_along_axis(v, b, axis=-1)[:, :, 0]
-    v_hi = jnp.take_along_axis(v, b + 1, axis=-1)[:, :, 0]
+    w_b = take_bin(w, b, axis=-1)
+    edge_b = take_bin(wsum2, b, axis=-1)
+    vw_b = take_bin(vw, b, axis=-1)
+    v_lo = take_bin(v, b, axis=-1)
+    v_hi = take_bin(v, b + 1, axis=-1)
 
     # solve 0.5 a (v_hi - v_lo) w alpha^2 + v_lo w alpha + vw_b = yB
     c = (yB - vw_b) / w_b

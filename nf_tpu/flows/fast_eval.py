@@ -75,8 +75,8 @@ def make_folded_forward(flow, params, state, dtype=jnp.float32):
                     a = xB * cfg.n_bins
                     b = jnp.floor(a).astype(jnp.int32)
                     alphas = (a - b) / cfg.n_bins
-                    cdf_int = jnp.take_along_axis(qsum, b[:, :, None], -1)[:, :, 0]
-                    cdf_flt = jnp.take_along_axis(q, b[:, :, None], -1)[:, :, 0]
+                    cdf_int = coupling.take_bin(qsum, b[:, :, None], -1)
+                    cdf_flt = coupling.take_bin(q, b[:, :, None], -1)
                     yB = cdf_flt * alphas + cdf_int
                     factor = jnp.prod(cdf_flt, axis=-1)
                 else:  # affine
@@ -143,16 +143,16 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
         b = jnp.sum((wsum <= xB[:, None, :]).astype(jnp.int32), axis=1)
         b = jnp.minimum(b, n_bins - 1)[:, None, :]
         wsum2 = jnp.concatenate([jnp.zeros_like(wsum[:, :1, :]), wsum], axis=1)
-        w_b = jnp.take_along_axis(w, b, axis=1)[:, 0, :]
-        edge_b = jnp.take_along_axis(wsum2, b, axis=1)[:, 0, :]
+        w_b = coupling.take_bin(w, b, axis=1)
+        edge_b = coupling.take_bin(wsum2, b, axis=1)
         alphas = (xB - edge_b) / w_b
         vw = jnp.concatenate(
             [jnp.zeros_like(w[:, :1, :]),
              jnp.cumsum((v[:, :-1, :] + v[:, 1:, :]) * 0.5 * w, axis=1)],
             axis=1)
-        shift = jnp.take_along_axis(vw, b, axis=1)[:, 0, :]
-        v_lo = jnp.take_along_axis(v, b, axis=1)[:, 0, :]
-        v_hi = jnp.take_along_axis(v, b + 1, axis=1)[:, 0, :]
+        shift = coupling.take_bin(vw, b, axis=1)
+        v_lo = coupling.take_bin(v, b, axis=1)
+        v_hi = coupling.take_bin(v, b + 1, axis=1)
         yB = 0.5 * alphas ** 2 * (v_hi - v_lo) * w_b + alphas * v_lo * w_b + shift
         pdf = v_lo + (v_hi - v_lo) * alphas
         return yB, jnp.prod(pdf, axis=0)
@@ -168,8 +168,8 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
         a = xB * n_bins
         b = jnp.floor(a).astype(jnp.int32)[:, None, :]
         alphas = (a - b[:, 0, :]) / n_bins
-        cdf_int = jnp.take_along_axis(qsum, b, axis=1)[:, 0, :]
-        cdf_flt = jnp.take_along_axis(q, b, axis=1)[:, 0, :]
+        cdf_int = coupling.take_bin(qsum, b, axis=1)
+        cdf_flt = coupling.take_bin(q, b, axis=1)
         yB = cdf_flt * alphas + cdf_int
         return yB, jnp.prod(cdf_flt, axis=0)
 
@@ -276,8 +276,8 @@ def make_folded_inverse(flow, params, state, dtype=jnp.float32):
                     b = jnp.sum((qsum <= yB[:, :, None]).astype(jnp.int32),
                                 axis=-1)
                     b = jnp.minimum(b, cfg.n_bins - 1)[:, :, None]
-                    cdf_lo = jnp.take_along_axis(qsum2, b, axis=-1)[:, :, 0]
-                    q_b = jnp.take_along_axis(q, b, axis=-1)[:, :, 0]
+                    cdf_lo = coupling.take_bin(qsum2, b, axis=-1)
+                    q_b = coupling.take_bin(q, b, axis=-1)
                     alphas = (yB - cdf_lo) / q_b
                     xB = (b[:, :, 0].astype(dtype)
                           + alphas * cfg.n_bins) / cfg.n_bins
