@@ -220,6 +220,25 @@ def main():
 
     xla_folded_sps = n / time_sampler(xla_folded_sample, jax.random.PRNGKey(0))
 
+    # scan-amortized device rate of the folded XLA path (the per-call
+    # number above carries this env's ~25 ms constant-buffer dispatch
+    # floor; see docs/PERFORMANCE.md "Per-dispatch latency")
+    def xla_scanned(K):
+        @jax.jit
+        def run(key):
+            def body(acc, i):
+                w = jax.random.uniform(jax.random.fold_in(key, i), (n, 2),
+                                       dtype=jnp.float32)
+                x, j = folded(w)
+                return acc + j[0] + x[0, 0], None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(K, dtype=jnp.int32))
+            return acc
+        return run
+    t1 = time_sampler(xla_scanned(2), jax.random.PRNGKey(0), reps=6)
+    t2 = time_sampler(xla_scanned(10), jax.random.PRNGKey(0), reps=6)
+    xla_folded_device_sps = (8 * n) / (t2 - t1)
+
     # ---- secondary benches: flagship masked flow + 2->4 phase space w/ cuts
     flagship_sps = 0.0
     flagship_device_sps = 0.0
@@ -337,6 +356,7 @@ def main():
             **train_dev,
             "xla_samples_per_sec": xla_sps,
             "xla_folded_samples_per_sec": xla_folded_sps,
+            "xla_folded_device_samples_per_sec": xla_folded_device_sps,
             "flagship10d_pallas_samples_per_sec": flagship_sps,
             "phase_space_2to4_events_per_sec": ps_sps,
             "kernel_exact_vs_jnp": kernel_exact,
