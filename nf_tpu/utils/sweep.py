@@ -11,7 +11,12 @@ para-dict/queue-tuple contract with two execution modes:
   * ``mode="thread"`` — a thread pool for CPU-bound workers (e.g. the
     VEGAS baseline ``prov``, whose hot loops are numpy and release the
     GIL), recovering the reference's fan-out for the baseline half of a
-    comparison sweep.
+    comparison sweep;
+  * ``mode="process"`` — the reference's actual mechanism: OS processes +
+    a multiprocessing queue (spawn context).  Workers and their para
+    values must be picklable (module-level functions).  Each child pins
+    jax to the CPU backend before running so sweeps never contend for the
+    accelerator — use for CPU-bound baselines or fully host-side workers.
 """
 
 from __future__ import annotations
@@ -26,6 +31,21 @@ RESULT_FIELDS = (
 )
 
 
+def _process_entry(w, para, mp_queue):
+    """Child entry point for mode="process": pin jax to CPU (the sweep
+    must never contend for the accelerator), then run the worker with the
+    multiprocessing queue injected — the reference's exact contract
+    (experiment_mg.py:85-87)."""
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    para = dict(para)
+    para["q"] = mp_queue
+    w(para)
+
+
 def run_sweep(paras, worker=None, workers=None, mode="sequential",
               max_workers=None):
     """Run workers over a list of para dicts; returns a list of result dicts.
@@ -33,12 +53,51 @@ def run_sweep(paras, worker=None, workers=None, mode="sequential",
     ``paras``: list of parameter dicts (reference experiment_mg.py:15-30
     schema, minus ``q`` which is injected).  ``worker``: callable taking the
     para dict (default: the NIS worker ``pro``); per-para override via
-    ``para['worker']``.  ``mode``: "sequential" or "thread"
+    ``para['worker']``.  ``mode``: "sequential", "thread" or "process"
     (``max_workers`` bounds the pool; default = number of paras).  Results
     are decoded from the queue tuples into dicts keyed by RESULT_FIELDS, in
     completion order.
     """
     from nf_tpu.utils.experiment import pro
+
+    if mode == "process":
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        mq = ctx.Queue()
+        jobs = [(dict(p).pop("worker", None) or worker or pro,
+                 {k: v for k, v in p.items() if k != "worker"})
+                for p in paras]
+        limit = max_workers or len(jobs)
+        results = []
+
+        def drain():
+            while True:
+                try:
+                    tup = mq.get_nowait()
+                except queue.Empty:
+                    return
+                results.append(dict(zip(RESULT_FIELDS, tup)))
+
+        pending = list(jobs)
+        running = []
+        while pending or running:
+            while pending and len(running) < limit:
+                w, p = pending.pop(0)
+                proc = ctx.Process(target=_process_entry, args=(w, p, mq))
+                proc.start()
+                running.append(proc)
+            drain()
+            still = []
+            for proc in running:
+                proc.join(timeout=0.2)
+                if proc.exitcode is None:
+                    still.append(proc)
+                elif proc.exitcode != 0:
+                    raise RuntimeError(
+                        f"sweep worker exited with code {proc.exitcode}")
+            running = still
+        drain()
+        return results
 
     q: queue.Queue = queue.Queue()
     jobs = []

@@ -242,3 +242,17 @@ def test_resolve_method_validation():
         NF._resolve_method("fusd", None)
     with pytest.raises(ValueError):
         NF.sample(16, key=jax.random.PRNGKey(0), method="qmc")
+
+
+def test_benchmark_train_step_times_cached_chunk():
+    """benchmark_train_step must reuse the training run's compiled chunk
+    and return sane device-time numbers (VERDICT r3 device-time metric)."""
+    NF = PWQuadManager(n_flow=2, seed=5)
+    NF.create_model(2, 4, [3] * 3)
+    NF._train_variance_forward_seq(
+        camel, optimizers.adamax(2e-3), log=False, batch_size=1000,
+        epochs=10, pretty_progressbar=False, mini_batch_size=500,
+        integrate=False, preburn_time=0)
+    sec_per_epoch, sps = NF.benchmark_train_step(reps=2)
+    assert sec_per_epoch > 0
+    assert sps == pytest.approx(1000 / sec_per_epoch)

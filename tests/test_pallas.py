@@ -213,3 +213,27 @@ def test_latents_kernel_pad_and_truncate(small_flow):
     x2, jac2 = sampler(jnp.concatenate([w, w[:19]]))
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x2[:333]))
     np.testing.assert_array_equal(np.asarray(jac), np.asarray(jac2[:333]))
+
+
+def test_dim_major_layout_matches_batch_major():
+    """build_sampler(layout='dim_major') returns the kernel's native
+    [n_flow, n] layout: same values as batch-major, no transpose copy."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nf_tpu.flows import factory
+    from nf_tpu.ops.pwquad_sampler import build_sampler
+
+    flow, params, state = factory.build_pwquad_flow(
+        jax.random.PRNGKey(3), 2, 2, 4, (3, 3), jnp.float32)
+    w = jax.random.uniform(jax.random.PRNGKey(1), (1000, 2), jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    s_bm = build_sampler(flow, params, state, interpret=interp,
+                         take_latents=True)
+    s_dm = build_sampler(flow, params, state, interpret=interp,
+                         take_latents=True, layout="dim_major")
+    x_bm, j_bm = s_bm(w)
+    x_dm, j_dm = s_dm(w)
+    assert x_dm.shape == (2, 1000) and x_bm.shape == (1000, 2)
+    np.testing.assert_array_equal(np.asarray(x_dm.T), np.asarray(x_bm))
+    np.testing.assert_array_equal(np.asarray(j_dm), np.asarray(j_bm))

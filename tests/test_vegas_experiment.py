@@ -229,3 +229,44 @@ def test_pro_worker_optional_knobs(tmp_path):
     assert np.isfinite(tup[11])  # sigma
     # epochs override honored: func_count = 2*batch*n_flow + epochs*batch
     assert tup[3] == 2 * 400 * 2 + 6 * 400
+
+
+def test_run_sweep_process_mode(tmp_path, monkeypatch):
+    """mode='process' reproduces the reference's actual fan-out mechanism
+    (OS processes + a multiprocessing queue, experiment_mg.py:85-87).
+    The integrand lives in a real module so it pickles across spawn."""
+    import os
+    import sys
+    from nf_tpu.utils.sweep import run_sweep
+    from nf_tpu.utils.experiment import prov
+
+    mod = tmp_path / "sweep_integrand_mod.py"
+    mod.write_text(
+        "import jax.numpy as jnp\n"
+        "def gauss2(x):\n"
+        "    return jnp.exp(-((x[:, 0] - 0.5) ** 2"
+        " + (x[:, 1] - 0.5) ** 2) / 0.02)\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        os.pathsep.join([str(tmp_path),
+                         os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))),
+                         os.environ.get("PYTHONPATH", "")]))
+    import importlib
+    sim = importlib.import_module("sweep_integrand_mod")
+
+    base = {
+        "n_flow": 2, "n_bins": 4, "NN_width": 4, "NN_length": 2,
+        "dev": 0, "lr": 2e-3, "weight_decay": 1e-4, "var_n": 1000,
+        "batch_size": 400, "pt": 0, "f": sim.gauss2,
+        "logdir": str(tmp_path), "log": False, "seed": 0,
+        "worker": prov,
+    }
+    results = run_sweep([dict(base, id=1), dict(base, id=2)],
+                        mode="process", max_workers=1)
+    assert len(results) == 2
+    assert sorted(r["id"] for r in results) == [1, 2]
+    for r in results:
+        assert r["method"] == "VEGAS"
+        assert "sigma_pb" in r
