@@ -99,9 +99,19 @@ def main():
 # --- harder variant: 2->4 with two resonances and deltaR cuts -------------
 # gen = FlatInvertiblePhasespace([0.]*2, [0.]*4, pdf=ToyPDF(),
 #                                pdf_active=True, tau=True)   # n_flow = 10
-# with matrix_element on s34/s56: both nf_tpu and the torch reference
-# plateau at ~0.3x uniform ESS under the forward-variance scheme at these
-# budgets — kept here as an honest record of the method's limits.
+# with matrix_element on s34/s56 (measured r3, tools/run_2to4.py, 300
+# epochs x 1M batches on v5e): uniform ESS 0.0042%; the reference's
+# variance scheme reaches 0.2x uniform and loss_mode="kl" 0.7x — the
+# honest record of the from-scratch method's limit on double resonances.
+# The generator-class fix is an analytic channel map
+# (nf_tpu.phasespace.mappings): importance-map the resonant latent
+# through the known Breit-Wigner BEFORE the phase-space map and train the
+# flow on the flattened remainder.  For THIS 2->2 example the one-liner
+#   integrand = remap_integrand(integrand, gen.nDimPhaseSpace(),
+#                               drell_yan_tau_map(91.188, 2.4952, E_COLLIDER))
+# flattens the Z peak so completely that even UNIFORM sampling resolves
+# sigma to ~2% at 262k points (tests/test_mappings.py) — compose it with
+# the flow for the smooth remainder.
 
 if __name__ == "__main__":
     main()

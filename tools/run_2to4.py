@@ -59,9 +59,12 @@ def main():
         NF = PWQuadManager(n_flow=n_flow, seed=0)
         NF.create_model(4, 32, [32] * 2)
         t0 = time.time()
+        # mini_batch 2^18 bounds the backward-pass activations (batch-1M
+        # single-minibatch OOMs at 24.7G HBO temps for this 10-D 32-bin
+        # flow); 4 minibatches average grads, same batch semantics
         NF._train_variance_forward_seq(
             integrand, optimizers.adamax(2e-3, 1e-4), log=False,
-            batch_size=1 << 20, epochs=300, mini_batch_size=1 << 20,
+            batch_size=1 << 20, epochs=300, mini_batch_size=1 << 18,
             pretty_progressbar=False, integrate=False, preburn_time=40,
             kill_counter=50, loss_mode=loss_mode, select_best_by=sel)
         dt = time.time() - t0
