@@ -1,4 +1,4 @@
-from nf_tpu.phasespace import lorentz, pdf
+from nf_tpu.phasespace import lorentz, mappings, pdf
 from nf_tpu.phasespace.generator import (
     FlatInvertiblePhasespace,
     VirtualPhaseSpaceGenerator,
@@ -7,6 +7,7 @@ from nf_tpu.phasespace.generator import (
 
 __all__ = [
     "lorentz",
+    "mappings",
     "pdf",
     "FlatInvertiblePhasespace",
     "VirtualPhaseSpaceGenerator",

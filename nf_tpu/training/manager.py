@@ -472,12 +472,13 @@ class BasicManager(ModelAPI):
                                          i_g > preburn_time))
                 return (params, bn, opt, b_metric, b_pb, pre, counter,
                         last_loss, killed), \
-                    (loss, var, ii, ei, ess, b_pb, pre_in)
+                    (loss, var, ii, ei, ess, b_pb, pre_in, counter)
 
             def skip_epoch(carry, ek, i_g):
                 del ek, i_g
                 z = jnp.zeros((), dtype)
-                return carry, (z, z, z, z, z, carry[4], carry[5])
+                return carry, (z, z, z, z, z, carry[4], carry[5],
+                               carry[6])
 
             def body(carry, xs):
                 ek, i_g = xs
@@ -615,7 +616,8 @@ class BasicManager(ModelAPI):
                 best_pb = self.best_params if self.best_params is not None \
                     else (params, bn_state)
                 (params, bn_state, opt_state, _, _, _, _, _, _), \
-                    (losses, variances, iis, eis, esses, pb_prefix, pres) = \
+                    (losses, variances, iis, eis, esses, pb_prefix, pres,
+                     counters) = \
                     chunk_step(
                         params, bn_state, opt_state, best_metric_d, best_pb,
                         jnp.asarray(bool(sm["preburner"])),
@@ -629,6 +631,7 @@ class BasicManager(ModelAPI):
                 eis = np.asarray(eis)
                 esses = np.asarray(esses)
                 pres = np.asarray(pres)
+                counters = np.asarray(counters)
                 for j in range(k):
                     i = next_i
                     next_i += 1
@@ -643,6 +646,15 @@ class BasicManager(ModelAPI):
                         lambda j=j: jax.tree.map(lambda a: a[j], pb_prefix))
                     if stop:
                         break
+                    # post-epoch kill-counter consistency (covers the
+                    # kill/preburn-exit branches the preburn flag alone
+                    # does not; the host-only stale check stops ABOVE, so
+                    # comparisons here only run while both machines live)
+                    if int(counters[j]) != int(sm["counter"]):
+                        raise RuntimeError(
+                            f"device/host kill counter diverged at epoch "
+                            f"{i}: device {int(counters[j])} != host "
+                            f"{int(sm['counter'])}")
 
         if pbar is not None:
             pbar.close()
