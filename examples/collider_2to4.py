@@ -75,7 +75,8 @@ def main():
     sig2, err2 = NF.integrate(integrand, 10, 500_000, combine="mean")
     print(f"post-training integrate: sigma = {sig2 / GEV2_TO_PB:.4f} "
           f"+/- {err2 / GEV2_TO_PB:.4f} pb "
-          "(ground truth 3.639 +/- 0.032 pb from 67M uniform points)")
+          "(analytic 3.6568 pb, tests/test_physics_validation.py; "
+          "67M-point MC self-measurement 3.639 +/- 0.032)")
 
     # effective-sample-size fraction ESS/N = E[w]^2 / E[w^2] (1 = perfect)
     x_s, jac_s = NF.sample(500_000)
