@@ -90,10 +90,15 @@ def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: 
     qsum = qsum / qnorm                           # CDF at right bin edges
     qsum = jnp.concatenate([jnp.zeros_like(qsum[:, :, :1]), qsum], axis=-1)
 
-    alphas = xB * n_bins
-    bins = jnp.floor(alphas)
-    alphas = (alphas - bins) / n_bins
-    bins = bins.astype(jnp.int32)
+    a = xB * n_bins
+    # Clamp the bin BEFORE deriving alpha: xB == 1.0 exactly (reachable when
+    # an upstream cell's f32 CDF output rounds up) would index bin n_bins,
+    # where take_along_axis clipped to the last bin; take_bin's one-hot would
+    # match nothing and silently zero the Jacobian.  Computing alpha from the
+    # clamped bin gives alpha = 1/n_bins at xB == 1, i.e. yB = CDF right
+    # edge = 1.0 — identical to the clipped-gather result.
+    bins = jnp.minimum(jnp.floor(a).astype(jnp.int32), n_bins - 1)
+    alphas = (a - bins) / n_bins
 
     cdf_int = take_bin(qsum, bins[:, :, None], axis=-1)
     cdf_flt = take_bin(q, bins[:, :, None], axis=-1)

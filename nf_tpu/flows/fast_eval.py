@@ -73,7 +73,9 @@ def make_folded_forward(flow, params, state, dtype=jnp.float32):
                     qsum = jnp.concatenate(
                         [jnp.zeros_like(qsum[:, :, :1]), qsum / qnorm], axis=-1)
                     a = xB * cfg.n_bins
-                    b = jnp.floor(a).astype(jnp.int32)
+                    # clamp bin before alpha: see coupling.pwlin_forward
+                    b = jnp.minimum(jnp.floor(a).astype(jnp.int32),
+                                    cfg.n_bins - 1)
                     alphas = (a - b) / cfg.n_bins
                     cdf_int = coupling.take_bin(qsum, b[:, :, None], -1)
                     cdf_flt = coupling.take_bin(q, b[:, :, None], -1)
@@ -166,7 +168,8 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
         qsum = jnp.concatenate(
             [jnp.zeros_like(qsum[:, :1, :]), qsum / qnorm], axis=1)
         a = xB * n_bins
-        b = jnp.floor(a).astype(jnp.int32)[:, None, :]
+        # clamp bin before alpha: see coupling.pwlin_forward
+        b = jnp.minimum(jnp.floor(a).astype(jnp.int32), n_bins - 1)[:, None, :]
         alphas = (a - b[:, 0, :]) / n_bins
         cdf_int = coupling.take_bin(qsum, b, axis=1)
         cdf_flt = coupling.take_bin(q, b, axis=1)

@@ -81,7 +81,7 @@ def drell_yan_tau_map(mass, width, E_collider, tau_min=None,
     (generator.py tau branch; tau_min = (max(masses, 1 GeV)/E)^2), so a
     Breit-Wigner in s_hat is exactly a Breit-Wigner in the r coordinate's
     affine image.  Use with :func:`remap_integrand` on the tau latent
-    (dim = nDimPhaseSpace(), i.e. third-from-last of the full latent when
+    (dim = nDimPhaseSpace(), i.e. second-from-last of the full latent when
     pdf_active with tau=True — the generator reads tau from
     ``rv[:, -2]``).
     """

@@ -197,7 +197,8 @@ class BasicManager(ModelAPI):
                                     preburn_time=75, kill_counter=7, impr_ratio=1e-2,
                                     loss_mode="var", seed=None, mesh=None,
                                     pathwise=False, epochs_per_sync="auto",
-                                    select_best_by="loss", resume_from=None):
+                                    select_best_by="loss", resume_from=None,
+                                    progress_callback=None):
         """Train with the integrand variance as loss; Jacobian from the forward
         pass (fixed latent sample, gradient through the Jacobian only).
 
@@ -241,6 +242,13 @@ class BasicManager(ModelAPI):
         effect — ``self._params`` keeps the chunk-end value while
         ``best_params`` is exact).
 
+        ``progress_callback`` (optional callable) receives a dict
+        ``{epoch, epochs, loss, elapsed_s, eta_s}`` once per processed
+        epoch (at chunk cadence when ``epochs_per_sync > 1``) — ETA
+        observability for long runs, replacing the reference's recycled
+        per-minibatch tqdm (misc.py:3-11) which has no analogue here
+        because minibatches are fused inside one jit.
+
         ``resume_from`` (path or dict from :meth:`save_training_state`)
         continues a previous run *exactly*: optimizer state, PRNG key,
         maxf, integral/error accumulators, best-model snapshot, and the
@@ -257,6 +265,10 @@ class BasicManager(ModelAPI):
         self._mesh = mesh
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
+
+        if log and logdir is not None:
+            # reference manager.py:101-109: early stub checkpoint at start
+            self._save_checkpoint_stub(logdir, run)
 
         flow = self._flow
         dtype = self.dtype
@@ -546,6 +558,18 @@ class BasicManager(ModelAPI):
             if pbar is not None:
                 pbar.set_description("Loss: {0:.3e} | Epoch".format(loss))
                 pbar.update(1)
+            if progress_callback is not None:
+                # per-epoch observability at chunk cadence (the reference's
+                # recycled per-minibatch tqdm, misc.py:3-11, has no analogue
+                # here since minibatches are fused in one jit; this callback
+                # restores ETA feedback for long chunked runs)
+                done = i - epoch_start + 1
+                elapsed = _time.time() - t_start
+                progress_callback({
+                    "epoch": i, "epochs": epochs, "loss": loss,
+                    "elapsed_s": elapsed,
+                    "eta_s": elapsed / max(done, 1) * (epochs - done),
+                })
             if run is not None and log:
                 run.log_scalar("training.loss", loss, i)
                 run.log_scalar("training.loss_rel", loss / self.int_loss, i)
@@ -710,7 +734,7 @@ class BasicManager(ModelAPI):
             run.log_scalar("training.err", self.err_tot, 0)
 
         if log and logdir is not None:
-            self._save_checkpoint(logdir)
+            self._save_checkpoint(logdir, run)
 
         if integrate:
             return (self.integ_tot, self.err_tot)
@@ -910,12 +934,39 @@ class BasicManager(ModelAPI):
     # -- checkpointing (improves on the reference's save-only torch.save,
     #    manager.py:358-369) --------------------------------------------------
 
-    def _save_checkpoint(self, logdir):
+    def _ckpt_dir(self, logdir, run=None):
+        """Reference checkpoint directory layout (manager.py:88-98):
+        ``logdir/<run._id>`` when a Sacred-style run object is attached,
+        else ``logdir``."""
+        import os
+        if run is not None and getattr(run, "_id", None) is not None:
+            return os.path.join(logdir, str(run._id))
+        return logdir
+
+    def _save_checkpoint_stub(self, logdir, run=None):
+        """Write the early ``torch_int`` stub the reference creates at
+        training start (manager.py:101-109: the initial model state, saved
+        before any epoch runs) so sweep tooling pointed at the reference
+        layout finds the same files at the same times."""
         from nf_tpu.utils import checkpoint as ckpt
         import os
         try:
-            os.makedirs(logdir, exist_ok=True)
-            ckpt.save(os.path.join(logdir, "checkpoint.msgpack"), {
+            d = self._ckpt_dir(logdir, run)
+            os.makedirs(d, exist_ok=True)
+            params, bn = self.best_params if self.best_params is not None \
+                else (self._params, self._bn_state)
+            ckpt.save(os.path.join(d, "torch_int"),
+                      {"params": params, "bn_state": bn, "meta": {}})
+        except Exception as e:  # pragma: no cover - mirrors reference guard
+            print(f"Checkpoint save not possible: {e}")
+
+    def _save_checkpoint(self, logdir, run=None):
+        from nf_tpu.utils import checkpoint as ckpt
+        import os
+        try:
+            d = self._ckpt_dir(logdir, run)
+            os.makedirs(d, exist_ok=True)
+            payload = {
                 "params": self.best_params[0],
                 "bn_state": self.best_params[1],
                 "meta": {
@@ -927,7 +978,12 @@ class BasicManager(ModelAPI):
                     "integ": float(getattr(self, "integ_tot", 0.0)),
                     "err": float(getattr(self, "err_tot", 0.0)),
                 },
-            })
+            }
+            # reference filename (manager.py:89,95,369) so sweep scripts
+            # aimed at the reference layout find it, plus the historical
+            # nf_tpu name for backward compatibility (same bytes)
+            ckpt.save(os.path.join(d, "torch"), payload)
+            ckpt.save(os.path.join(d, "checkpoint.msgpack"), payload)
         except Exception as e:  # pragma: no cover - mirrors reference guard
             print(f"Checkpoint save not possible: {e}")
 

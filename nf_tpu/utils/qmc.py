@@ -56,10 +56,30 @@ def sobol_latents(n, dim, seed, dtype=np.float64):
 
 
 def _direction_numbers(dim):
-    """[dim, 32] uint32 Joe-Kuo direction numbers via scipy's table."""
+    """[dim, 32] uint32 Joe-Kuo direction numbers via scipy's table.
+
+    Reads scipy's private ``Sobol._sv`` attribute, so a scipy-internal
+    rename or layout change must fail LOUDLY here, not corrupt the device
+    ladder at runtime: we assert the attribute exists, the shape, and the
+    mathematically-known first dimension (van der Corput: sv[0, j] =
+    2^(31-j)) before trusting the rest of the table.
+    """
     from scipy.stats import qmc as _sq
-    return np.asarray(_sq.Sobol(dim, scramble=False, bits=32)._sv,
-                      dtype=np.uint32)
+    eng = _sq.Sobol(dim, scramble=False, bits=32)
+    sv = getattr(eng, "_sv", None)
+    if sv is None:
+        raise RuntimeError(
+            "scipy.stats.qmc.Sobol no longer exposes `_sv` (internal "
+            "direction-number table); update nf_tpu.utils.qmc."
+            "_direction_numbers for this scipy version "
+            "or vendor the Joe-Kuo table.")
+    sv = np.asarray(sv, dtype=np.uint32)
+    expected0 = np.uint32(1) << np.arange(31, -1, -1, dtype=np.uint32)
+    if sv.shape != (dim, 32) or not np.array_equal(sv[0], expected0):
+        raise RuntimeError(
+            f"scipy Sobol._sv layout changed (shape {sv.shape}, "
+            "first-dimension check failed); update _direction_numbers.")
+    return sv
 
 
 def make_device_sobol(dim, scramble=True):

@@ -80,23 +80,32 @@ def run_sweep(paras, worker=None, workers=None, mode="sequential",
 
         pending = list(jobs)
         running = []
-        while pending or running:
-            while pending and len(running) < limit:
-                w, p = pending.pop(0)
-                proc = ctx.Process(target=_process_entry, args=(w, p, mq))
-                proc.start()
-                running.append(proc)
+        try:
+            while pending or running:
+                while pending and len(running) < limit:
+                    w, p = pending.pop(0)
+                    proc = ctx.Process(target=_process_entry, args=(w, p, mq))
+                    proc.start()
+                    running.append(proc)
+                drain()
+                still = []
+                for proc in running:
+                    proc.join(timeout=0.2)
+                    if proc.exitcode is None:
+                        still.append(proc)
+                    elif proc.exitcode != 0:
+                        raise RuntimeError(
+                            f"sweep worker exited with code {proc.exitcode}")
+                running = still
             drain()
-            still = []
+        finally:
+            # On failure, don't leak children or lose queued results: stop
+            # survivors, then drain what completed before the error.
             for proc in running:
-                proc.join(timeout=0.2)
-                if proc.exitcode is None:
-                    still.append(proc)
-                elif proc.exitcode != 0:
-                    raise RuntimeError(
-                        f"sweep worker exited with code {proc.exitcode}")
-            running = still
-        drain()
+                if proc.is_alive():
+                    proc.terminate()
+                proc.join()
+            drain()
         return results
 
     q: queue.Queue = queue.Queue()

@@ -132,6 +132,60 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(j1), np.asarray(j2))
 
 
+def test_checkpoint_reference_layout(tmp_path):
+    """Reference filename parity (reference manager.py:88-109,369): files
+    land at logdir[/run._id]/torch with an early torch_int stub, so sweep
+    tooling aimed at the reference layout finds them."""
+    class FakeRun:
+        _id = 42
+
+        def log_scalar(self, *a, **k):
+            pass
+
+    NF = PWQuadManager(n_flow=2, seed=6)
+    NF.create_model(2, 4, [4] * 2)
+    opt = optimizers.adamax(2e-3)
+    NF._train_variance_forward_seq(
+        camel, opt, log=True, logdir=str(tmp_path), run=FakeRun(),
+        batch_size=500, epochs=3, pretty_progressbar=False,
+        mini_batch_size=500, integrate=False, preburn_time=0)
+    d = tmp_path / "42"
+    assert (d / "torch").exists()
+    assert (d / "torch_int").exists()
+    assert (d / "checkpoint.msgpack").exists()
+    # final checkpoint under the reference name restores fine
+    NF2 = PWQuadManager(n_flow=2, seed=7)
+    NF2.create_model(2, 4, [4] * 2)
+    meta = NF2.load_checkpoint(str(d / "torch"))
+    assert meta["best_loss"] == pytest.approx(float(NF.best_loss))
+    # without a run object the files land directly in logdir
+    NF3 = PWQuadManager(n_flow=2, seed=8)
+    NF3.create_model(2, 4, [4] * 2)
+    NF3._train_variance_forward_seq(
+        camel, opt, log=True, logdir=str(tmp_path / "plain"), batch_size=500,
+        epochs=2, pretty_progressbar=False, mini_batch_size=500,
+        integrate=False, preburn_time=0)
+    assert (tmp_path / "plain" / "torch").exists()
+    assert (tmp_path / "plain" / "torch_int").exists()
+
+
+def test_progress_callback():
+    events = []
+    NF = PWQuadManager(n_flow=2, seed=6)
+    NF.create_model(2, 4, [4] * 2)
+    opt = optimizers.adamax(2e-3)
+    NF._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=500, epochs=4,
+        pretty_progressbar=False, mini_batch_size=500, integrate=False,
+        preburn_time=0, progress_callback=events.append)
+    assert len(events) == 4
+    assert [e["epoch"] for e in events] == [0, 1, 2, 3]
+    for e in events:
+        assert e["epochs"] == 4
+        assert e["eta_s"] >= 0.0 and e["elapsed_s"] >= 0.0
+        assert np.isfinite(e["loss"])
+
+
 def test_pwlin_manager_trains():
     def gauss4(x):
         return jnp.exp(-jnp.sum((x - 0.5) ** 2, axis=-1) / 0.08)

@@ -60,5 +60,5 @@ def main():
             print(f"full-width FAULT signature: {type(e).__name__}: {e}")
 
 
-if __name__ == "__main__" or True:  # also runs via `python - < file`
+if __name__ == "__main__":  # `python - < file` also sets __name__ to __main__
     main()
