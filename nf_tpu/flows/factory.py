@@ -20,6 +20,35 @@ from nf_tpu.bijectors.permutations import get_bin, mask_partition
 from nf_tpu.flows.model import Flow, make_cell_cfg, init_cell
 
 
+def identity_init(params):
+    """Zero every conditioner's FINAL layer so the flow starts as the exact
+    identity map with Jacobian 1 (pwquad/pwlin: zero logits -> uniform
+    bins -> y = x; affine: y = atan(20 x)/(pi/2), the closest this cell
+    family gets).
+
+    The reference initializes randomly (torch Linear defaults), which makes
+    the untrained map violently non-uniform — measured J in [2e-8, 7e4] on
+    a 10-D 32-bin flow, i.e. the fresh flow DESTROYS a good analytic
+    channel map it is composed with (ESS 11.4% -> 0.6% before training
+    starts).  Identity init makes composition with
+    :mod:`nf_tpu.phasespace.mappings` / :mod:`...topology` channels
+    monotone: training starts AT the channel map's ESS and improves.
+    Opt-in (``create_model(..., identity_init=True)``) to keep
+    reference-parity defaults.
+    """
+    import jax.numpy as jnp
+
+    def zero_cell(p):
+        p = dict(p)
+        fin = dict(p["final"])
+        fin["w"] = jnp.zeros_like(fin["w"])
+        fin["b"] = jnp.zeros_like(fin["b"])
+        p["final"] = fin
+        return p
+
+    return tuple(zero_cell(p) for p in params)
+
+
 def _init_all(key, cells, dtype):
     keys = jax.random.split(key, max(len(cells), 1))
     params, state = [], []

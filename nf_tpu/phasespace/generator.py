@@ -56,12 +56,129 @@ class VirtualPhaseSpaceGenerator:
             return 0
         return 3 * self.n_final - 4
 
+    # -- shared PDF-convolution / cuts machinery (used by the flat RAMBO
+    #    generator below and the tree-topology channels in topology.py) ----
+
+    absolute_Ecm_min = 1.0      # GeV floor for the partonic E_cm
+
+    def get_pdfQ2(self, pdf, pdg, x, scale2):
+        """PDF density f(x) = xfx/x; non-partonic pdgs give 1 (reference :120-137)."""
+        if pdf is None:
+            return jnp.ones_like(x)
+        if pdg not in [21] and abs(pdg) not in range(1, 7):
+            return jnp.ones_like(x)
+        return pdf.xfxQ2(pdg, x, scale2) / x
+
+    def _convolve_pdf(self, E_cm, rv_full, pdgs):
+        """Strip the trailing PDF latents and return
+        ``(random_variables, E_cm_eff, xb_1, xb_2, wgt_jac)``
+        (reference :161-187; tau and direct-x modes, x<1e-4 zeroing,
+        frozen M_Z^2 scale, sub-threshold guard)."""
+        dtype = rv_full.dtype
+        B = rv_full.shape[0]
+        if not self.pdf_active:
+            return rv_full, E_cm, jnp.ones((B,), dtype), jnp.ones((B,), dtype), \
+                jnp.ones((B,), dtype)
+
+        wgt_jac = jnp.ones((B,), dtype)
+        random_variables = rv_full[:, :-2]
+        if self.tau:
+            # tau = x1*x2, ycm mapping (reference :161-176)
+            tot_mass = float(np.sum(np.asarray(self.final_masses)))
+            tau_min = (max(tot_mass, self.absolute_Ecm_min) / E_cm) ** 2
+            tau, j1 = lorentz.uniform_distr(
+                rv_full[:, -2], jnp.full((B,), tau_min, dtype),
+                jnp.ones((B,), dtype))
+            ycm_min = 0.5 * jnp.log(tau)
+            ycm, j2 = lorentz.uniform_distr(rv_full[:, -1], ycm_min, -ycm_min)
+            sqrt_tau = jnp.sqrt(tau)
+            xb_1 = sqrt_tau * jnp.exp(ycm)
+            xb_2 = sqrt_tau * jnp.exp(-ycm)
+            E_cm_eff = sqrt_tau * E_cm
+            wgt_jac = wgt_jac * j1 * j2
+        else:
+            # direct Bjorken x sampling (reference :177-182)
+            xb_1 = rv_full[:, -1]
+            xb_2 = rv_full[:, -2]
+            E_cm_eff = jnp.sqrt(xb_1 * xb_2) * E_cm
+        # Sub-threshold guard (improvement over the reference, which
+        # produces NaN weights when the partonic E_cm falls below the
+        # final-state mass sum in direct-x mode): zero the weight and
+        # clamp the kinematics so momenta stay finite.
+        tot_mass_f = float(np.sum(np.asarray(self.final_masses)))
+        thresh = max(tot_mass_f, self.absolute_Ecm_min)
+        ok = (E_cm_eff >= thresh).astype(dtype)
+        E_cm_eff = jnp.maximum(E_cm_eff, jnp.asarray(thresh, dtype))
+        wgt_jac = wgt_jac * ok
+        scale2 = jnp.full((B,), 91.188 ** 2, dtype)  # frozen M_Z^2 (reference :184)
+        x_cut = jnp.where((xb_1 < 1e-4) | (xb_2 < 1e-4), 0.0, 1.0).astype(dtype)
+        wgt_jac = wgt_jac * self.get_pdfQ2(self.pdf, pdgs[0], xb_1, scale2) \
+            * self.get_pdfQ2(self.pdf, pdgs[1], xb_2, scale2) * x_cut
+        return random_variables, E_cm_eff, xb_1, xb_2, wgt_jac
+
+    def _cut_factor(self, momenta_com, xb_1, xb_2, pT_mincut, delR_mincut,
+                    rap_maxcut):
+        """0/1 per-event cut factor, evaluated in the LAB frame
+        (reference :282-301; the returned momenta stay COM)."""
+        B = momenta_com.shape[0]
+        dtype = momenta_com.dtype
+        momenta_lab = lorentz.boost_to_lab_frame(momenta_com, xb_1, xb_2)
+        fin = momenta_lab[:, self.n_initial:, :]
+
+        factor = jnp.ones((B,), dtype)
+        pt_min = jnp.min(jnp.sqrt(fin[:, :, 1] ** 2 + fin[:, :, 2] ** 2), axis=1)
+        factor = jnp.where(pt_min < pT_mincut, 0.0, factor)
+
+        if self.n_final > 1 and delR_mincut > 0:
+            dr = lorentz.delta_r(fin[:, :, None, :], fin[:, None, :, :])
+            ii, jj = np.tril_indices(self.n_final, k=-1)
+            bad = jnp.any(jnp.abs(dr[:, ii, jj]) < delR_mincut, axis=1)
+            factor = jnp.where(bad, 0.0, factor)
+
+        if rap_maxcut > 0:
+            max_rap = jnp.abs(jnp.max(lorentz.pseudo_rapidity(fin), axis=1))
+            factor = jnp.where(rap_maxcut < max_rap, 0.0, factor)
+        return factor
+
+    @staticmethod
+    def _sanitize(momenta_com, weight):
+        """Zero numerically-unresolvable events instead of letting NaN/inf
+        poison the batch (see generateKinematics_batch's final sanitation
+        note)."""
+        bad = jnp.any(~jnp.isfinite(momenta_com), axis=(1, 2)) \
+            | ~jnp.isfinite(weight)
+        weight = jnp.where(bad, 0.0, weight)
+        momenta_com = jnp.where(bad[:, None, None], 0.0,
+                                jnp.nan_to_num(momenta_com, posinf=0.0,
+                                               neginf=0.0))
+        return momenta_com, weight
+
+    def setInitialStateMomenta_batch(self, E_cm, batch, dtype):
+        """Beam momenta [B, 2, 4] along z (reference :408-441)."""
+        if self.n_initial != 2:
+            raise PhaseSpaceGeneratorError(
+                "This PS generator only supports 2 initial states")
+        E = jnp.broadcast_to(jnp.asarray(E_cm, dtype), (batch,))
+        zeros = jnp.zeros_like(E)
+        m1, m2 = self.initial_masses
+        if m1 == 0.0 or m2 == 0.0:
+            p1 = jnp.stack([E / 2, zeros, zeros, E / 2], axis=-1)
+            p2 = jnp.stack([E / 2, zeros, zeros, -E / 2], axis=-1)
+        else:
+            M1sq, M2sq = m1 ** 2, m2 ** 2
+            E1 = (E ** 2 + M1sq - M2sq) / E
+            E2 = (E ** 2 - M1sq + M2sq) / E
+            Z = jnp.sqrt(E ** 4 - 2 * E ** 2 * M1sq - 2 * E ** 2 * M2sq
+                         + M1sq ** 2 - 2 * M1sq * M2sq + M2sq ** 2) / E
+            p1 = jnp.stack([E1 / 2, zeros, zeros, Z / 2], axis=-1)
+            p2 = jnp.stack([E2 / 2, zeros, zeros, -Z / 2], axis=-1)
+        return jnp.stack([p1, p2], axis=1)
+
 
 class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
     """Flat (uniform-weight) invertible 2->N phase-space map."""
 
     epsilon_border = 1e-10      # kept for API parity (unused in reference too)
-    absolute_Ecm_min = 1.0      # GeV floor for the partonic E_cm
 
     def __init__(self, *args, **opts):
         super().__init__(*args, **opts)
@@ -101,16 +218,6 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         Msqr = M ** 2
         prod = (Msqr - (N + m) ** 2) * (Msqr - (N - m) ** 2)
         return jnp.maximum(prod, 0.0) ** 0.5 / (8.0 * Msqr)
-
-    # -- PDF weight ---------------------------------------------------------
-
-    def get_pdfQ2(self, pdf, pdg, x, scale2):
-        """PDF density f(x) = xfx/x; non-partonic pdgs give 1 (reference :120-137)."""
-        if pdf is None:
-            return jnp.ones_like(x)
-        if pdg not in [21] and abs(pdg) not in range(1, 7):
-            return jnp.ones_like(x)
-        return pdf.xfxQ2(pdg, x, scale2) / x
 
     # -- intermediate masses -------------------------------------------------
 
@@ -176,28 +283,6 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         weight = weight * (K[:, 0] / M[:, 0]) ** (2 * nf - 4)
         return M, weight
 
-    # -- initial-state momenta ----------------------------------------------
-
-    def setInitialStateMomenta_batch(self, E_cm, batch, dtype):
-        """Beam momenta [B, 2, 4] along z (reference :408-441)."""
-        if self.n_initial != 2:
-            raise PhaseSpaceGeneratorError("This PS generator only supports 2 initial states")
-        E = jnp.broadcast_to(jnp.asarray(E_cm, dtype), (batch,))
-        zeros = jnp.zeros_like(E)
-        m1, m2 = self.initial_masses
-        if m1 == 0.0 or m2 == 0.0:
-            p1 = jnp.stack([E / 2, zeros, zeros, E / 2], axis=-1)
-            p2 = jnp.stack([E / 2, zeros, zeros, -E / 2], axis=-1)
-        else:
-            M1sq, M2sq = m1 ** 2, m2 ** 2
-            E1 = (E ** 2 + M1sq - M2sq) / E
-            E2 = (E ** 2 - M1sq + M2sq) / E
-            Z = jnp.sqrt(E ** 4 - 2 * E ** 2 * M1sq - 2 * E ** 2 * M2sq
-                         + M1sq ** 2 - 2 * M1sq * M2sq + M2sq ** 2) / E
-            p1 = jnp.stack([E1 / 2, zeros, zeros, Z / 2], axis=-1)
-            p2 = jnp.stack([E2 / 2, zeros, zeros, -Z / 2], axis=-1)
-        return jnp.stack([p1, p2], axis=1)
-
     # -- the main map --------------------------------------------------------
 
     def generateKinematics_batch(self, E_cm, random_variables_full,
@@ -216,46 +301,8 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         masses = self.masses.astype(dtype)
         collider_energy = E_cm
 
-        wgt_jac = jnp.ones((B,), dtype)
-        xb_1 = jnp.ones((B,), dtype)
-        xb_2 = jnp.ones((B,), dtype)
-
-        if not self.pdf_active:
-            random_variables = rv_full
-            E_cm_eff = E_cm  # python scalar
-        else:
-            random_variables = rv_full[:, :-2]
-            if self.tau:
-                # tau = x1*x2, ycm mapping (reference :161-176)
-                tot_mass = float(np.sum(np.asarray(self.final_masses)))
-                tau_min = (max(tot_mass, self.absolute_Ecm_min) / E_cm) ** 2
-                tau, j1 = lorentz.uniform_distr(
-                    rv_full[:, -2], jnp.full((B,), tau_min, dtype), jnp.ones((B,), dtype))
-                ycm_min = 0.5 * jnp.log(tau)
-                ycm, j2 = lorentz.uniform_distr(rv_full[:, -1], ycm_min, -ycm_min)
-                sqrt_tau = jnp.sqrt(tau)
-                xb_1 = sqrt_tau * jnp.exp(ycm)
-                xb_2 = sqrt_tau * jnp.exp(-ycm)
-                E_cm_eff = sqrt_tau * E_cm
-                wgt_jac = wgt_jac * j1 * j2
-            else:
-                # direct Bjorken x sampling (reference :177-182)
-                xb_1 = rv_full[:, -1]
-                xb_2 = rv_full[:, -2]
-                E_cm_eff = jnp.sqrt(xb_1 * xb_2) * E_cm
-            # Sub-threshold guard (improvement over the reference, which
-            # produces NaN weights when the partonic E_cm falls below the
-            # final-state mass sum in direct-x mode): zero the weight and
-            # clamp the kinematics so momenta stay finite.
-            tot_mass_f = float(np.sum(np.asarray(self.final_masses)))
-            thresh = max(tot_mass_f, self.absolute_Ecm_min)
-            ok = (E_cm_eff >= thresh).astype(dtype)
-            E_cm_eff = jnp.maximum(E_cm_eff, jnp.asarray(thresh, dtype))
-            wgt_jac = wgt_jac * ok
-            scale2 = jnp.full((B,), 91.188 ** 2, dtype)  # frozen M_Z^2 (reference :184)
-            x_cut = jnp.where((xb_1 < 1e-4) | (xb_2 < 1e-4), 0.0, 1.0).astype(dtype)
-            wgt_jac = wgt_jac * self.get_pdfQ2(self.pdf, pdgs[0], xb_1, scale2) \
-                * self.get_pdfQ2(self.pdf, pdgs[1], xb_2, scale2) * x_cut
+        random_variables, E_cm_eff, xb_1, xb_2, wgt_jac = \
+            self._convolve_pdf(E_cm, rv_full, pdgs)
 
         assert random_variables.shape[1] == self.nDimPhaseSpace()
 
@@ -300,24 +347,8 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
             [initial, jnp.stack(finals, axis=1)], axis=1)
 
         # cuts are applied in the LAB frame (reference :282-301)
-        momenta_lab = lorentz.boost_to_lab_frame(momenta_com, xb_1, xb_2)
-        fin = momenta_lab[:, 2:, :]
-
-        factor = jnp.ones((B,), dtype)
-        pt_min = jnp.min(jnp.sqrt(fin[:, :, 1] ** 2 + fin[:, :, 2] ** 2), axis=1)
-        factor = jnp.where(pt_min < pT_mincut, 0.0, factor)
-
-        if self.n_final > 1 and delR_mincut > 0:
-            dr = lorentz.delta_r(fin[:, :, None, :], fin[:, None, :, :])
-            ii, jj = np.tril_indices(self.n_final, k=-1)
-            bad = jnp.any(jnp.abs(dr[:, ii, jj]) < delR_mincut, axis=1)
-            factor = jnp.where(bad, 0.0, factor)
-
-        if rap_maxcut > 0:
-            max_rap = jnp.abs(jnp.max(lorentz.pseudo_rapidity(fin), axis=1))
-            factor = jnp.where(rap_maxcut < max_rap, 0.0, factor)
-
-        weight = weight * factor
+        weight = weight * self._cut_factor(momenta_com, xb_1, xb_2,
+                                           pT_mincut, delR_mincut, rap_maxcut)
         shat = xb_1 * xb_2 * collider_energy ** 2
         weight = weight / (2.0 * shat)
 
@@ -328,13 +359,7 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         # where one NaN gradient destroys the optimizer state.  Zero those
         # events instead (measure-zero bias, orders of magnitude below MC
         # error); f64 is effectively unaffected.
-        bad = jnp.any(~jnp.isfinite(momenta_com), axis=(1, 2)) \
-            | ~jnp.isfinite(weight)
-        weight = jnp.where(bad, 0.0, weight)
-        momenta_com = jnp.where(bad[:, None, None], 0.0,
-                                jnp.nan_to_num(momenta_com, posinf=0.0,
-                                               neginf=0.0))
-        return momenta_com, weight
+        return self._sanitize(momenta_com, weight)
 
     # -- the inverse map ------------------------------------------------------
 

@@ -20,7 +20,9 @@ tests/test_mappings.py against the analytic Drell-Yan cross-section.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def breit_wigner_unit_map(u, mass, width, s_min, s_max):
@@ -56,6 +58,24 @@ def power_law_unit_map(u, exponent, x_min, x_max):
     return v, dx_du / (x_max - x_min)
 
 
+def shifted_power_unit_map(u, exponent, shift):
+    """Map ``u ~ U[0,1]`` to ``v in [0,1]`` with density ~ (v+shift)^exponent
+    (exponent != -1).  The shift keeps the concentration point *inside* the
+    interval: for a steeply-falling spectrum that only turns on above a
+    threshold v_th (e.g. the tau latent of a heavy-pair production, where
+    the luminosity falls like a power above tau_th and the weight vanishes
+    below), ``shift ~ v_th`` piles samples just above the threshold instead
+    of at v = 0 where the integrand is dead."""
+    a = exponent + 1.0
+    lo = shift
+    hi = 1.0 + shift
+    xa_lo = lo ** a
+    xa_hi = hi ** a
+    x = (xa_lo + u * (xa_hi - xa_lo)) ** (1.0 / a)
+    dv_du = (xa_hi - xa_lo) / (a * x ** (a - 1.0))
+    return x - shift, dv_du
+
+
 def remap_integrand(f, dim, unit_map):
     """Wrap ``f([B, n]) -> [B]`` so latent dim ``dim`` passes through
     ``unit_map(u) -> (v, dv/du)`` first, with the Jacobian folded in.
@@ -70,6 +90,106 @@ def remap_integrand(f, dim, unit_map):
         w2 = w.at[:, dim].set(v.astype(w.dtype))
         return f(w2) * jac.astype(w.dtype)
     return g
+
+
+def chain_mass_map(gen, E_collider, s_map, mass_index=None):
+    """Conditional latent map: make the flat RAMBO generator's chain mass
+    ``M_{mass_index}`` (the invariant mass of final particles
+    ``mass_index..n_final-1``) follow ``s_map`` — a Breit-Wigner composed
+    THROUGH the bisection (VERDICT r3 #1: the resonance "behind the
+    bisection" in generator.py:117-134 that :func:`drell_yan_tau_map`
+    cannot reach).
+
+    The flat chain draws latent column ``d = mass_index - 1`` uniformly,
+    bisects ``v = massless_map(u, e)`` with ``e = n_final-1-mass_index``,
+    and sets ``K_j = sqrt(u) K_{j-1}``, ``M_j = K_j + (m_j+...+m_{n-1})``.
+    This map inverts that pipeline conditionally: given the EARLIER
+    latents (which fix ``K_{j-1}`` and, when ``pdf_active``, the partonic
+    E_cm), it draws ``s = M_j^2`` from ``s_map`` over the exact kinematic
+    range ``[(m_j+..)^2, (K_{j-1}+m_j+..)^2]``, converts back to the
+    latent coordinate the generator expects, and folds in the full chain
+    Jacobian dv/dr = dv/du * du/ds * ds/dr.  The wrapped integrand stays
+    an ordinary unit-cube ``f`` and the estimator is exactly unbiased
+    (tests/test_topology.py pins it against the unmapped generator).
+
+    ``s_map`` is any object with ``sample(u, s_min, s_max) -> (s, ds/du)``
+    (e.g. :class:`nf_tpu.phasespace.topology.BreitWignerSMap`).
+    ``mass_index`` defaults to ``n_final - 2`` — the LAST pair's invariant
+    mass, the only pairing the chain exposes (other pairings need a
+    different topology: :mod:`nf_tpu.phasespace.topology`).
+
+    Returns ``wrap(f) -> g`` so it composes like
+    ``remap_integrand``: ``g = chain_mass_map(gen, E, bw)(integrand)``.
+    """
+    nf = gen.n_final
+    if nf < 3:
+        raise ValueError("chain_mass_map needs n_final >= 3 (for n_final=2 "
+                         "the resonance sits in s_hat: use drell_yan_tau_map)")
+    j = nf - 2 if mass_index is None else int(mass_index)
+    if not 1 <= j <= nf - 2:
+        raise ValueError(f"mass_index must be in [1, {nf - 2}], got {j}")
+    d = j - 1                       # the latent column being re-mapped
+    e = float(nf - 1 - j)           # massless_map exponent of that column
+    masses = np.asarray(gen.final_masses, dtype=np.float64)
+    tot_mass = float(masses.sum())
+    ms_j = float(masses[j:].sum())  # suffix mass below the target node
+    # exponents of the EARLIER chain columns (needed to recover K_{j-1})
+    pre_exps = np.arange(nf - 2, nf - 2 - d, -1, dtype=np.float64)
+
+    def _bisect(v, exps):
+        """Fixed-count bisection of v = massless_map(u, e) per column
+        (mirrors generator.bisect_vec_batch for a column subset)."""
+        def body(_, bounds):
+            left, right = bounds
+            mid = 0.5 * (left + right)
+            go = (mid ** exps) * ((exps + 1.0) - exps * mid) < v
+            return jnp.where(go, mid, left), jnp.where(go, right, mid)
+        left, right = jax.lax.fori_loop(
+            0, 62, body, (jnp.zeros_like(v), jnp.ones_like(v)))
+        return 0.5 * (left + right)
+
+    def wrap(f):
+        def g(w):
+            dtype = w.dtype
+            B = w.shape[0]
+            # partonic E_cm from the PDF latents (generator._convolve_pdf
+            # semantics incl. the threshold clamp)
+            thresh = max(tot_mass, gen.absolute_Ecm_min)
+            if not gen.pdf_active:
+                E_eff = jnp.full((B,), E_collider, dtype)
+            elif gen.tau:
+                tau_min = (thresh / E_collider) ** 2
+                tau = tau_min + w[:, -2] * (1.0 - tau_min)
+                E_eff = jnp.sqrt(tau) * E_collider
+            else:
+                E_eff = jnp.sqrt(w[:, -1] * w[:, -2]) * E_collider
+            E_eff = jnp.maximum(E_eff, jnp.asarray(thresh, dtype))
+
+            K_prev = E_eff - tot_mass            # K_0
+            if d > 0:
+                exps = jnp.asarray(pre_exps, dtype)[None, :]
+                u_pre = _bisect(w[:, :d], exps)
+                K_prev = K_prev * jnp.prod(jnp.sqrt(u_pre), axis=1)
+
+            s_lo = jnp.full((B,), ms_j ** 2, dtype)
+            s_hi = jnp.maximum((K_prev + ms_j) ** 2, s_lo)
+            s, ds_dr = s_map.sample(w[:, d], s_lo, s_hi)
+            M_j = jnp.sqrt(jnp.maximum(s, 0.0))
+            K_j = jnp.maximum(M_j - ms_j, 0.0)
+            ok = K_prev > 0
+            K_safe = jnp.where(ok, K_prev, 1.0)
+            u = jnp.clip((K_j / K_safe) ** 2, 0.0, 1.0)
+            v = (u ** e) * ((e + 1.0) - e * u)   # massless_map(u, e)
+
+            dv_du = e * (e + 1.0) * u ** (e - 1.0) * (1.0 - u)
+            du_ds = K_j / (jnp.maximum(M_j, 1e-300) * K_safe ** 2)
+            jac = jnp.where(ok, dv_du * du_ds * ds_dr, 0.0)
+
+            w2 = w.at[:, d].set(v.astype(dtype))
+            return f(w2) * jac.astype(dtype)
+        return g
+
+    return wrap
 
 
 def drell_yan_tau_map(mass, width, E_collider, tau_min=None,

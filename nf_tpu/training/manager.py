@@ -1067,11 +1067,14 @@ class BasicManager(ModelAPI):
 class AffineManager(BasicManager):
     """Affine coupling cells + roll layers (reference manager.py:411-453)."""
 
-    def create_model(self, n_pass_through, n_cells, NN, roll_step, dev=None):
+    def create_model(self, n_pass_through, n_cells, NN, roll_step, dev=None,
+                     identity_init=False):
         del dev
         self._flow, self._params, self._bn_state = factory.build_affine_flow(
             self._next_key(), self.n_flow, n_pass_through, n_cells,
             tuple(NN), roll_step, self.dtype)
+        if identity_init:
+            self._params = factory.identity_init(self._params)
         self.best_params = (self._params, self._bn_state)
         self._sampler_cache.clear()
         self._warmup(10)
@@ -1080,11 +1083,14 @@ class AffineManager(BasicManager):
 class PWLinManager(BasicManager):
     """Piecewise-linear coupling cells + roll layers (reference manager.py:456-499)."""
 
-    def create_model(self, n_pass_through, n_cells, n_bins, NN, roll_step, dev=None):
+    def create_model(self, n_pass_through, n_cells, n_bins, NN, roll_step,
+                     dev=None, identity_init=False):
         del dev
         self._flow, self._params, self._bn_state = factory.build_pwlin_flow(
             self._next_key(), self.n_flow, n_pass_through, n_cells, n_bins,
             tuple(NN), roll_step, self.dtype)
+        if identity_init:
+            self._params = factory.identity_init(self._params)
         self.best_params = (self._params, self._bn_state)
         self._sampler_cache.clear()
         self._warmup(5)
@@ -1094,10 +1100,16 @@ class PWQuadManager(BasicManager):
     """Piecewise-quadratic cells; masked partition for n_flow > 7
     (reference manager.py:502-600)."""
 
-    def create_model(self, n_cells, n_bins, NN, dev=None):
+    def create_model(self, n_cells, n_bins, NN, dev=None, identity_init=False):
+        """``identity_init=True`` zeroes the conditioners' final layers so
+        the fresh flow IS the identity (J = 1) — essential when composing
+        with analytic channel maps (see factory.identity_init); default
+        False reproduces the reference's random torch init."""
         del dev
         self._flow, self._params, self._bn_state = factory.build_pwquad_flow(
             self._next_key(), self.n_flow, n_cells, n_bins, tuple(NN), self.dtype)
+        if identity_init:
+            self._params = factory.identity_init(self._params)
         self.best_params = (self._params, self._bn_state)
         self._sampler_cache.clear()
         self._warmup(5)
