@@ -75,7 +75,7 @@ def unweighted_batch(flow, params, state, f, key, n_proposals, w_max,
 
 def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
                         train=False, batch=1 << 17, max_batches=1000,
-                        wmax_quantile=1.0, method="auto"):
+                        wmax_quantile=1.0, method="auto", mesh=None):
     """Generate at least ``n_events`` unweighted events (host-driven loop).
 
     Returns ``(events [>=n_events, n_flow], efficiency, n_overweight)``.
@@ -83,6 +83,11 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
     ``method="auto"`` draws proposals through the fused Pallas kernel on
     TPU (eval-mode map) and the stateful forward elsewhere; pass ``None``
     to force the stateful reference-parity path.
+
+    ``mesh`` shards the proposal draw over the mesh's 'dp' axis
+    (parallel.sampling.make_dp_sampler); the weight/accept computation
+    consumes the sharded arrays inside the same jit, so XLA keeps f and
+    the comparison distributed too.
     """
     import numpy as np
 
@@ -91,12 +96,30 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
         method = "fused" if (not train and jax.default_backend() == "tpu"
                              and supported_by_kernel(flow)) else None
 
+    if mesh is not None:
+        from nf_tpu.parallel.sampling import make_dp_sampler
+        sharded = make_dp_sampler(flow, params, state, mesh, batch,
+                                  method=method or "folded")
+
+        def draw_mesh(k):
+            return sharded(k)
+    else:
+        draw_mesh = None
+
     if w_max is None:
         key, sub = jax.random.split(key)
-        w_max = estimate_wmax(flow, params, state, f, sub, safety=1.05,
-                              quantile=wmax_quantile, method=method)
+        if draw_mesh is not None:
+            x, jacv = draw_mesh(sub)
+            weights = f(x) * jacv
+            ref = jnp.max(weights) if wmax_quantile >= 1.0 \
+                else jnp.quantile(weights, wmax_quantile)
+            w_max = float(ref) * 1.05
+        else:
+            w_max = estimate_wmax(flow, params, state, f, sub, safety=1.05,
+                                  quantile=wmax_quantile, method=method)
 
-    draw = _make_draw(flow, params, state, batch, train, method)
+    draw = draw_mesh if draw_mesh is not None \
+        else _make_draw(flow, params, state, batch, train, method)
     step = jax.jit(partial(unweighted_batch, flow, params, state, f,
                            n_proposals=batch, w_max=w_max, train=train,
                            draw=draw))

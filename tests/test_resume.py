@@ -79,6 +79,40 @@ def test_resume_dict_roundtrip(tmp_path):
     assert state["integ"].shape == (5,)
 
 
+def test_midchunk_early_stop_state_is_exact():
+    """A chunked run that early-stops MID-chunk must leave params/opt_state
+    exactly at the stop epoch (the trainer replays the final chunk masked
+    at the stop), not at the chunk end — VERDICT r3 weak #6.  Ground truth:
+    an identical run whose epoch budget ends exactly at the stop epoch
+    (same chunk size, same per-chunk keys, masking via end_d)."""
+    import jax
+
+    args = dict(log=False, batch_size=600, pretty_progressbar=False,
+                mini_batch_size=600, integrate=False, preburn_time=0,
+                epochs_per_sync=10)
+
+    NF_a = _fresh()
+    NF_a._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                     epochs=60, kill_counter=1, **args)
+    s = NF_a._last_epoch
+    assert s < 59, "expected an early stop (deterministic seeds)"
+    assert s % 10 != 9, "stop must land mid-chunk to exercise the replay"
+
+    NF_b = _fresh()
+    NF_b._train_variance_forward_seq(camel, optimizers.adamax(2e-3),
+                                     epochs=s + 1, kill_counter=10_000,
+                                     **args)
+    assert NF_b._last_epoch == s
+    for la, lb in zip(jax.tree.leaves(NF_a._params),
+                      jax.tree.leaves(NF_b._params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-12)
+    for la, lb in zip(jax.tree.leaves(NF_a._opt_state),
+                      jax.tree.leaves(NF_b._opt_state)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-12)
+
+
 def test_resume_with_auto_chunking_continues_validly(tmp_path):
     """Auto-chunked resume isn't RNG-identical to an uninterrupted run
     (keys are chunked differently) but must continue with valid
