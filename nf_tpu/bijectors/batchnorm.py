@@ -63,3 +63,33 @@ def apply(params, state, x, train: bool, axis_name=None):
     inv = jnp.reciprocal(jnp.sqrt(var + EPS))
     y = (x - mean) * inv * params["scale"] + params["bias"]
     return y, new_state
+
+
+def apply_t(params, state, h, train: bool, axis_name=None):
+    """Transposed-layout BatchNorm: ``h`` is ``[n, B]`` (features in
+    sublanes, batch in lanes).  Same torch semantics as :func:`apply`;
+    reductions run over axis 1.  Used by the lane-efficient training
+    forward (nf_tpu.flows.model.forward_t)."""
+    if train:
+        import jax
+
+        mean = jnp.mean(h, axis=1)
+        sq = jnp.mean(h * h, axis=1)
+        n = h.shape[1]
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            sq = jax.lax.pmean(sq, axis_name)
+            n = n * jax.lax.psum(1, axis_name)
+        var = sq - mean * mean
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1.0 - MOMENTUM) * state["mean"] + MOMENTUM * mean,
+            "var": (1.0 - MOMENTUM) * state["var"] + MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jnp.reciprocal(jnp.sqrt(var + EPS))
+    y = (h - mean[:, None]) * inv[:, None] * params["scale"][:, None] \
+        + params["bias"][:, None]
+    return y, new_state

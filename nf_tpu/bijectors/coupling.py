@@ -24,6 +24,27 @@ import jax.numpy as jnp
 from nf_tpu.bijectors import conditioner
 
 
+def positivity(z, act: str):
+    """Bin-logit -> positive height map.
+
+    ``exp`` is the reference's choice (softmax-style normalization,
+    reference coupling_cells.py:115,178,189).  ``squareplus``
+    (Barron 2021: (z + sqrt(z^2+4))/2, a smooth monotone map with
+    sp(0)=1, ->z for z>>0, ->1/|z| for z<<0) is the opt-in fast variant:
+    Mosaic lowers exp to a ~8-op polynomial sequence while squareplus is
+    2 FMAs + sqrt, which is what dominates the fused-sampler VPU budget
+    (2*n_bins+1 evaluations per transformed dimension).  The slower-than-
+    exp decay for negative logits also bounds how thin a bin can get —
+    a mild extra stability margin, not a behavior change, since heights
+    are renormalized either way.
+    """
+    if act == "exp":
+        return jnp.exp(z)
+    if act == "squareplus":
+        return 0.5 * (z + jnp.sqrt(z * z + 4.0))
+    raise ValueError(f"unknown activation {act!r}")
+
+
 def take_bin(arr, b, axis):
     """``take_along_axis(arr, b, axis)`` with the indexed axis reduced away,
     computed as a one-hot masked sum.
@@ -75,14 +96,14 @@ def affine_forward(params, state, x, jac, pass_through: int, train: bool, axis_n
 # Piecewise-linear coupling (reference coupling_cells.py:73-142)
 # ---------------------------------------------------------------------------
 
-def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool, axis_name=None):
+def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool, axis_name=None, act: str = "exp"):
     """PDF bin heights from the conditioner; piecewise-linear CDF transform."""
     xA = x[:, :pass_through]
     xB = x[:, pass_through:]
     t = xB.shape[1]
 
     z, new_state = conditioner.apply(params, state, xA, train, axis_name)
-    q = jnp.exp(z.reshape(z.shape[0], t, n_bins))
+    q = positivity(z.reshape(z.shape[0], t, n_bins), act)
 
     qsum = jnp.cumsum(q, axis=-1)
     qnorm = qsum[:, :, -1:]
@@ -112,7 +133,7 @@ def pwlin_forward(params, state, x, jac, pass_through: int, n_bins: int, train: 
 # Piecewise-quadratic coupling (reference coupling_cells.py:144-228)
 # ---------------------------------------------------------------------------
 
-def pwquad_compute(v_raw, w_raw, xB):
+def pwquad_compute(v_raw, w_raw, xB, act: str = "exp"):
     """Core PWQuad transform given raw conditioner outputs.
 
     ``v_raw``: [B, T, n_bins+1] vertex logits, ``w_raw``: [B, T, n_bins]
@@ -123,13 +144,13 @@ def pwquad_compute(v_raw, w_raw, xB):
     """
     n_bins = w_raw.shape[-1]
 
-    w = jnp.exp(w_raw)
+    w = positivity(w_raw, act)
     wsum = jnp.cumsum(w, axis=-1)
     wnorm = wsum[:, :, -1:]
     w = w / wnorm
     wsum = wsum / wnorm
 
-    v = jnp.exp(v_raw)
+    v = positivity(v_raw, act)
     # total integral of the piecewise-linear PDF: sum of trapezoids
     vnorm_tot = jnp.sum((v[:, :, :-1] + v[:, :, 1:]) * 0.5 * w, axis=-1, keepdims=True)
     v = v / vnorm_tot
@@ -160,7 +181,7 @@ def pwquad_compute(v_raw, w_raw, xB):
     return yB, jnp.prod(pdf_vals, axis=-1)
 
 
-def pwquad_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool, axis_name=None):
+def pwquad_forward(params, state, x, jac, pass_through: int, n_bins: int, train: bool, axis_name=None, act: str = "exp"):
     xA = x[:, :pass_through]
     xB = x[:, pass_through:]
     t = xB.shape[1]
@@ -173,8 +194,112 @@ def pwquad_forward(params, state, x, jac, pass_through: int, n_bins: int, train:
     v_raw = z[:, :, : n_bins + 1]
     w_raw = z[:, :, n_bins + 1:]
 
-    yB, factor = pwquad_compute(v_raw, w_raw, xB)
+    yB, factor = pwquad_compute(v_raw, w_raw, xB, act)
     return jnp.concatenate([xA, yB], axis=1), jac * factor, new_state
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout transforms: x lives as [n, B] with the batch in the TPU
+# lane dimension.  With the reference's [B, n] layout (n_flow = O(10)) every
+# elementwise/cumsum/BN op uses only n of the 128 lanes; transposed, all
+# non-matmul work is dense VPU work.  Same math as the batch-major versions
+# above (bit-differences only from reduction order inside BN/matmuls).
+# Used by fast_eval.make_folded_forward_t (eval) and model.forward_t (train).
+# ---------------------------------------------------------------------------
+
+def pwquad_compute_t(v_raw, w_raw, xB, act: str = "exp"):
+    """Transposed pwquad_compute: ``v_raw`` [t, n_bins+1, B], ``w_raw``
+    [t, n_bins, B], ``xB`` [t, B] -> (yB [t, B], factor [B])."""
+    n_bins = w_raw.shape[1]
+
+    w = positivity(w_raw, act)
+    wsum = jnp.cumsum(w, axis=1)
+    wnorm = wsum[:, -1:, :]
+    w = w / wnorm
+    wsum = wsum / wnorm
+
+    v = positivity(v_raw, act)
+    vnorm = jnp.sum((v[:, :-1, :] + v[:, 1:, :]) * 0.5 * w, axis=1,
+                    keepdims=True)
+    v = v / vnorm
+
+    b = jnp.sum((wsum <= xB[:, None, :]).astype(jnp.int32), axis=1)
+    b = jnp.minimum(b, n_bins - 1)[:, None, :]
+    wsum2 = jnp.concatenate([jnp.zeros_like(wsum[:, :1, :]), wsum], axis=1)
+    w_b = take_bin(w, b, axis=1)
+    edge_b = take_bin(wsum2, b, axis=1)
+    alphas = (xB - edge_b) / w_b
+    vw = jnp.concatenate(
+        [jnp.zeros_like(w[:, :1, :]),
+         jnp.cumsum((v[:, :-1, :] + v[:, 1:, :]) * 0.5 * w, axis=1)],
+        axis=1)
+    shift = take_bin(vw, b, axis=1)
+    v_lo = take_bin(v, b, axis=1)
+    v_hi = take_bin(v, b + 1, axis=1)
+    yB = 0.5 * alphas ** 2 * (v_hi - v_lo) * w_b + alphas * v_lo * w_b + shift
+    pdf = v_lo + (v_hi - v_lo) * alphas
+    return yB, jnp.prod(pdf, axis=0)
+
+
+def pwlin_compute_t(q_raw, xB, act: str = "exp"):
+    """Transposed pwlin transform core: ``q_raw`` [t, n_bins, B],
+    ``xB`` [t, B] -> (yB [t, B], factor [B])."""
+    n_bins = q_raw.shape[1]
+    q = positivity(q_raw, act)
+    qsum = jnp.cumsum(q, axis=1)
+    qnorm = qsum[:, -1:, :]
+    q = q / (qnorm / n_bins)
+    qsum = jnp.concatenate(
+        [jnp.zeros_like(qsum[:, :1, :]), qsum / qnorm], axis=1)
+    a = xB * n_bins
+    # clamp bin before alpha: see pwlin_forward
+    b = jnp.minimum(jnp.floor(a).astype(jnp.int32), n_bins - 1)[:, None, :]
+    alphas = (a - b[:, 0, :]) / n_bins
+    cdf_int = take_bin(qsum, b, axis=1)
+    cdf_flt = take_bin(q, b, axis=1)
+    yB = cdf_flt * alphas + cdf_int
+    return yB, jnp.prod(cdf_flt, axis=0)
+
+
+def affine_forward_t(params, state, x, jac, pass_through: int, train: bool,
+                     axis_name=None):
+    """Transposed affine cell: ``x`` [n, B], ``jac`` [B] (incl. the
+    reference's single-2/pi quirk, coupling_cells.py:68)."""
+    xA = x[:pass_through]
+    xB = x[pass_through:]
+    t = xB.shape[0]
+
+    z, new_state = conditioner.apply_t(params, state, xA, train, axis_name)
+    s0 = jnp.exp(z[:t])
+    s1 = jnp.maximum(z[t:], 0.0)
+    u = xB * (20.0 * s0) + s1
+    diff = 1.0 / (u * u + 1.0)
+    yB = jnp.arctan(u) / (math.pi / 2.0)
+    jac = jac * jnp.prod(20.0 * s0, axis=0) * (1.0 / (math.pi / 2.0)) \
+        * jnp.prod(diff, axis=0)
+    return jnp.concatenate([xA, yB], axis=0), jac, new_state
+
+
+def pwlin_forward_t(params, state, x, jac, pass_through: int, n_bins: int,
+                    train: bool, axis_name=None, act: str = "exp"):
+    xA = x[:pass_through]
+    xB = x[pass_through:]
+    t = xB.shape[0]
+    z, new_state = conditioner.apply_t(params, state, xA, train, axis_name)
+    yB, factor = pwlin_compute_t(z.reshape(t, n_bins, z.shape[-1]), xB, act)
+    return jnp.concatenate([xA, yB], axis=0), jac * factor, new_state
+
+
+def pwquad_forward_t(params, state, x, jac, pass_through: int, n_bins: int,
+                     train: bool, axis_name=None, act: str = "exp"):
+    xA = x[:pass_through]
+    xB = jnp.minimum(x[pass_through:], 1.0 - 1e-6)  # reference clamp, :167
+    t = xB.shape[0]
+    z, new_state = conditioner.apply_t(params, state, xA, train, axis_name)
+    z = z.reshape(t, 2 * n_bins + 1, z.shape[-1])
+    yB, factor = pwquad_compute_t(z[:, : n_bins + 1, :], z[:, n_bins + 1:, :],
+                                  xB, act)
+    return jnp.concatenate([xA, yB], axis=0), jac * factor, new_state
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +333,7 @@ def affine_inverse(params, state, y, jac, pass_through: int, train: bool = False
 
 
 def pwlin_inverse(params, state, y, jac, pass_through: int, n_bins: int,
-                  train: bool = False):
+                  train: bool = False, act: str = "exp"):
     """Invert the piecewise-linear CDF: find the bin by CDF edge, then
     linear solve."""
     yA = y[:, :pass_through]
@@ -216,7 +341,7 @@ def pwlin_inverse(params, state, y, jac, pass_through: int, n_bins: int,
     t = yB.shape[1]
 
     z, new_state = conditioner.apply(params, state, yA, train)
-    q = jnp.exp(z.reshape(z.shape[0], t, n_bins))
+    q = positivity(z.reshape(z.shape[0], t, n_bins), act)
     qsum = jnp.cumsum(q, axis=-1)
     qnorm = qsum[:, :, -1:]
     q = q / (qnorm / n_bins)
@@ -234,7 +359,7 @@ def pwlin_inverse(params, state, y, jac, pass_through: int, n_bins: int,
     return jnp.concatenate([yA, xB], axis=1), jac, new_state
 
 
-def pwquad_invert(v_raw, w_raw, yB):
+def pwquad_invert(v_raw, w_raw, yB, act: str = "exp"):
     """Invert the quadratic CDF given raw conditioner outputs.
 
     Mirrors pwquad_compute: locate the bin via the CDF-at-edge prefix sums,
@@ -243,13 +368,13 @@ def pwquad_invert(v_raw, w_raw, yB):
     """
     n_bins = w_raw.shape[-1]
 
-    w = jnp.exp(w_raw)
+    w = positivity(w_raw, act)
     wsum = jnp.cumsum(w, axis=-1)
     wnorm = wsum[:, :, -1:]
     w = w / wnorm
     wsum = wsum / wnorm
 
-    v = jnp.exp(v_raw)
+    v = positivity(v_raw, act)
     vnorm_tot = jnp.sum((v[:, :, :-1] + v[:, :, 1:]) * 0.5 * w, axis=-1,
                         keepdims=True)
     v = v / vnorm_tot
@@ -283,7 +408,7 @@ def pwquad_invert(v_raw, w_raw, yB):
 
 
 def pwquad_inverse(params, state, y, jac, pass_through: int, n_bins: int,
-                   train: bool = False):
+                   train: bool = False, act: str = "exp"):
     yA = y[:, :pass_through]
     yB = y[:, pass_through:]
     t = yB.shape[1]
@@ -293,5 +418,5 @@ def pwquad_inverse(params, state, y, jac, pass_through: int, n_bins: int,
     v_raw = z[:, :, : n_bins + 1]
     w_raw = z[:, :, n_bins + 1:]
 
-    xB, fwd_factor = pwquad_invert(v_raw, w_raw, yB)
+    xB, fwd_factor = pwquad_invert(v_raw, w_raw, yB, act)
     return jnp.concatenate([yA, xB], axis=1), jac / fwd_factor, new_state

@@ -41,7 +41,12 @@ def identity_init(params):
     def zero_cell(p):
         p = dict(p)
         fin = dict(p["final"])
-        fin["w"] = jnp.zeros_like(fin["w"])
+        if "u" in fin:
+            # low-rank final: zero only v and b — grads w.r.t. v stay
+            # nonzero (prop. to u^T delta), so training can leave identity
+            fin["v"] = jnp.zeros_like(fin["v"])
+        else:
+            fin["w"] = jnp.zeros_like(fin["w"])
         fin["b"] = jnp.zeros_like(fin["b"])
         p["final"] = fin
         return p
@@ -71,11 +76,13 @@ def build_affine_flow(key, n_flow, n_pass_through, n_cells, nn_layers, roll_step
     return flow, params, state
 
 
-def build_pwlin_flow(key, n_flow, n_pass_through, n_cells, n_bins, nn_layers, roll_step, dtype):
+def build_pwlin_flow(key, n_flow, n_pass_through, n_cells, n_bins, nn_layers, roll_step, dtype,
+                     final_rank=None, activation="exp"):
     """[PWLin, Roll(roll_step)] * n_cells (reference manager.py:487-492)."""
     cells, ops = [], []
     for i in range(n_cells):
-        cells.append(make_cell_cfg("pwlin", n_flow, n_pass_through, n_bins, nn_layers))
+        cells.append(make_cell_cfg("pwlin", n_flow, n_pass_through, n_bins, nn_layers,
+                                   final_rank=final_rank, activation=activation))
         ops.append(("cell", i))
         ops.append(("roll", roll_step))
     flow = Flow(n_flow, tuple(cells), tuple(ops))
@@ -95,8 +102,14 @@ def adjust_pwquad_cells(n_flow: int, n_cells: int) -> int:
     return n_cells
 
 
-def build_pwquad_flow(key, n_flow, n_cells, n_bins, nn_layers, dtype):
-    """PWQuad chain with the reference's architecture switch at n_flow <= 7."""
+def build_pwquad_flow(key, n_flow, n_cells, n_bins, nn_layers, dtype,
+                      final_rank=None, activation="exp"):
+    """PWQuad chain with the reference's architecture switch at n_flow <= 7.
+
+    ``final_rank`` / ``activation``: opt-in conditioner-cost reducers
+    (see bijectors.conditioner.init / bijectors.coupling.positivity);
+    defaults reproduce the reference architecture exactly.
+    """
     n_cells = adjust_pwquad_cells(n_flow, n_cells)
     cells, ops = [], []
 
@@ -105,7 +118,8 @@ def build_pwquad_flow(key, n_flow, n_cells, n_bins, nn_layers, dtype):
         roll_step = 1
         n_pass_through = 1 if n_flow <= 6 else 2
         for i in range(n_cells):
-            cells.append(make_cell_cfg("pwquad", n_flow, n_pass_through, n_bins, nn_layers))
+            cells.append(make_cell_cfg("pwquad", n_flow, n_pass_through, n_bins, nn_layers,
+                                       final_rank=final_rank, activation=activation))
             ops.append(("cell", i))
             if i < n_cells - 1:
                 ops.append(("roll", roll_step))
@@ -118,7 +132,8 @@ def build_pwquad_flow(key, n_flow, n_cells, n_bins, nn_layers, dtype):
         for i in range(2 * n):
             feeder, trafoer = mask_partition(n_flow, i)
             perm = tuple(feeder.tolist() + trafoer.tolist())
-            cells.append(make_cell_cfg("pwquad", n_flow, len(feeder), n_bins, nn_layers))
+            cells.append(make_cell_cfg("pwquad", n_flow, len(feeder), n_bins, nn_layers,
+                                       final_rank=final_rank, activation=activation))
             ops.append(("gather", perm))
             ops.append(("cell", i))
             ops.append(("scatter", perm))
@@ -126,7 +141,8 @@ def build_pwquad_flow(key, n_flow, n_cells, n_bins, nn_layers, dtype):
         n_pass_through = n_flow // 2
         extra = n_cells - 2 * n
         for j in range(extra):
-            cells.append(make_cell_cfg("pwquad", n_flow, n_pass_through, n_bins, nn_layers))
+            cells.append(make_cell_cfg("pwquad", n_flow, n_pass_through, n_bins, nn_layers,
+                                       final_rank=final_rank, activation=activation))
             ops.append(("cell", 2 * n + j))
             if j < extra - 1:
                 ops.append(("roll", 1))

@@ -25,19 +25,19 @@ from nf_tpu.ops.pwquad_sampler import fold_eval_params
 def make_folded_forward(flow, params, state, dtype=jnp.float32):
     """Build ``f(w) -> (x, jac)`` for eval-mode sampling with folded BN."""
     folded = fold_eval_params(flow, params, state, dtype=np.dtype(dtype))
-    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype))
-               for wm, bv in layers] for layers in folded]
+    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype), relu)
+               for wm, bv, relu in layers] for layers in folded]
     cells = flow.cells
     ops = flow.ops
     n_flow = flow.n_flow
 
     def mlp(layers, h):
-        for li, (wm, bv) in enumerate(layers):
+        for wm, bv, relu in layers:
             # HIGHEST: TPU f32 matmuls default to bf16 MXU passes, whose
             # ~1e-3 error is amplified through trained sharp CDFs (measured
             # y diffs up to 0.08 vs the exact-f32 Pallas kernel)
             h = jnp.dot(h, wm, precision=jax.lax.Precision.HIGHEST) + bv
-            if li < len(layers) - 1:
+            if relu:
                 h = jnp.maximum(h, 0.0)
         return h
 
@@ -63,10 +63,12 @@ def make_folded_forward(flow, params, state, dtype=jnp.float32):
                     xB = jnp.minimum(x[:, pt:], 1.0 - 1e-6)
                     z = z.reshape(z.shape[0], t, 2 * cfg.n_bins + 1)
                     yB, factor = coupling.pwquad_compute(
-                        z[:, :, : cfg.n_bins + 1], z[:, :, cfg.n_bins + 1:], xB)
+                        z[:, :, : cfg.n_bins + 1], z[:, :, cfg.n_bins + 1:], xB,
+                        cfg.activation)
                 elif cfg.kind == "pwlin":
                     xB = x[:, pt:]
-                    q = jnp.exp(z.reshape(z.shape[0], t, cfg.n_bins))
+                    q = coupling.positivity(
+                        z.reshape(z.shape[0], t, cfg.n_bins), cfg.activation)
                     qsum = jnp.cumsum(q, axis=-1)
                     qnorm = qsum[:, :, -1:]
                     q = q / (qnorm / cfg.n_bins)
@@ -110,8 +112,8 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
     ``transpose_out=False`` to keep the internal layout).
     """
     folded = fold_eval_params(flow, params, state, dtype=np.dtype(dtype))
-    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype))
-               for wm, bv in layers] for layers in folded]
+    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype), relu)
+               for wm, bv, relu in layers] for layers in folded]
     cells = flow.cells
     ops = flow.ops
     n_flow = flow.n_flow
@@ -121,20 +123,20 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
     def mlp_t(layers, h):
         # h: [in, B]; W: [in, out] -> out = W.T @ h + b[:, None]
         # HIGHEST precision: see make_folded_forward.mlp
-        for li, (wm, bv) in enumerate(layers):
+        for wm, bv, relu in layers:
             h = jnp.dot(wm.T, h, preferred_element_type=acc_t,
                         precision=jax.lax.Precision.HIGHEST
                         ).astype(dtype) + bv[:, None]
-            if li < len(layers) - 1:
+            if relu:
                 h = jnp.maximum(h, 0.0)
         return h
 
-    def pwquad_t(z, xB, n_bins, t):
+    def pwquad_t(z, xB, n_bins, t, act):
         # z: [t*(2nb+1), B] -> [t, 2nb+1, B]; xB: [t, B]
         B = z.shape[-1]
         z = z.reshape(t, 2 * n_bins + 1, B)
-        v = jnp.exp(z[:, : n_bins + 1, :])
-        w = jnp.exp(z[:, n_bins + 1:, :])
+        v = coupling.positivity(z[:, : n_bins + 1, :], act)
+        w = coupling.positivity(z[:, n_bins + 1:, :], act)
         wsum = jnp.cumsum(w, axis=1)
         wnorm = wsum[:, -1:, :]
         w = w / wnorm
@@ -159,9 +161,9 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
         pdf = v_lo + (v_hi - v_lo) * alphas
         return yB, jnp.prod(pdf, axis=0)
 
-    def pwlin_t(z, xB, n_bins, t):
+    def pwlin_t(z, xB, n_bins, t, act):
         B = z.shape[-1]
-        q = jnp.exp(z.reshape(t, n_bins, B))
+        q = coupling.positivity(z.reshape(t, n_bins, B), act)
         qsum = jnp.cumsum(q, axis=1)
         qnorm = qsum[:, -1:, :]
         q = q / (qnorm / n_bins)
@@ -196,9 +198,11 @@ def make_folded_forward_t(flow, params, state, dtype=jnp.float32,
                 z = mlp_t(folded[op[1]], x[:pt])
                 if cfg.kind == "pwquad":
                     xB = jnp.minimum(x[pt:], 1.0 - 1e-6)
-                    yB, factor = pwquad_t(z, xB, cfg.n_bins, t)
+                    yB, factor = pwquad_t(z, xB, cfg.n_bins, t,
+                                           cfg.activation)
                 elif cfg.kind == "pwlin":
-                    yB, factor = pwlin_t(z, x[pt:], cfg.n_bins, t)
+                    yB, factor = pwlin_t(z, x[pt:], cfg.n_bins, t,
+                                         cfg.activation)
                 else:  # affine
                     xB = x[pt:]
                     s0 = jnp.exp(z[:t])
@@ -232,15 +236,15 @@ def make_folded_inverse(flow, params, state, dtype=jnp.float32):
     from nf_tpu.bijectors import coupling as _coupling
 
     folded = fold_eval_params(flow, params, state, dtype=np.dtype(dtype))
-    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype))
-               for wm, bv in layers] for layers in folded]
+    folded = [[(jnp.asarray(wm, dtype), jnp.asarray(bv, dtype), relu)
+               for wm, bv, relu in layers] for layers in folded]
     cells = flow.cells
     ops = flow.ops
 
     def mlp(layers, h):
-        for li, (wm, bv) in enumerate(layers):
+        for wm, bv, relu in layers:
             h = jnp.dot(h, wm, precision=jax.lax.Precision.HIGHEST) + bv
-            if li < len(layers) - 1:
+            if relu:
                 h = jnp.maximum(h, 0.0)
         return h
 
@@ -267,9 +271,10 @@ def make_folded_inverse(flow, params, state, dtype=jnp.float32):
                     z = z.reshape(z.shape[0], t, 2 * cfg.n_bins + 1)
                     xB, fwd = _coupling.pwquad_invert(
                         z[:, :, : cfg.n_bins + 1], z[:, :, cfg.n_bins + 1:],
-                        yB)
+                        yB, cfg.activation)
                 elif cfg.kind == "pwlin":
-                    q = jnp.exp(z.reshape(z.shape[0], t, cfg.n_bins))
+                    q = _coupling.positivity(
+                        z.reshape(z.shape[0], t, cfg.n_bins), cfg.activation)
                     qsum = jnp.cumsum(q, axis=-1)
                     qnorm = qsum[:, :, -1:]
                     q = q / (qnorm / cfg.n_bins)

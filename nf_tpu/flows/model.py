@@ -31,6 +31,11 @@ class CellCfg:
     n_bins: Optional[int]          # None for affine
     nn_sizes: tuple                # hidden widths + output width
     hidden_bias: bool              # affine cells: True; PW cells: False
+    # opt-in conditioner-cost reducers (VERDICT r3 #2; defaults reproduce
+    # the reference architecture exactly):
+    final_rank: Optional[int] = None   # low-rank factored final layer
+    activation: str = "exp"            # bin-logit positivity map
+                                       # ('exp' | 'squareplus')
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,12 +53,17 @@ class Flow:
     ops: tuple
 
 
-def make_cell_cfg(kind, flow_size, pass_through, n_bins, nn_layers) -> CellCfg:
+def make_cell_cfg(kind, flow_size, pass_through, n_bins, nn_layers,
+                  final_rank=None, activation="exp") -> CellCfg:
     transform = flow_size - pass_through
     if kind == "affine":
         out = 2 * transform
         hidden_bias = True
         n_bins = None
+        if activation != "exp":
+            raise ValueError("affine cells use exp scales (reference "
+                             "coupling_cells.py:56); activation applies to "
+                             "pwlin/pwquad bin logits only")
     elif kind == "pwlin":
         out = transform * n_bins
         hidden_bias = False
@@ -62,11 +72,16 @@ def make_cell_cfg(kind, flow_size, pass_through, n_bins, nn_layers) -> CellCfg:
         hidden_bias = False
     else:
         raise ValueError(f"unknown cell kind {kind!r}")
-    return CellCfg(kind, flow_size, pass_through, n_bins, tuple(nn_layers) + (out,), hidden_bias)
+    if activation not in ("exp", "squareplus"):
+        raise ValueError(f"unknown activation {activation!r}")
+    return CellCfg(kind, flow_size, pass_through, n_bins,
+                   tuple(nn_layers) + (out,), hidden_bias,
+                   final_rank=final_rank, activation=activation)
 
 
 def init_cell(key, cfg: CellCfg, dtype):
-    return conditioner.init(key, cfg.pass_through, cfg.nn_sizes, cfg.hidden_bias, dtype)
+    return conditioner.init(key, cfg.pass_through, cfg.nn_sizes, cfg.hidden_bias,
+                            dtype, final_rank=cfg.final_rank)
 
 
 def apply_cell(cfg: CellCfg, params, state, x, jac, train: bool, axis_name=None):
@@ -75,9 +90,11 @@ def apply_cell(cfg: CellCfg, params, state, x, jac, train: bool, axis_name=None)
                                        train, axis_name)
     if cfg.kind == "pwlin":
         return coupling.pwlin_forward(params, state, x, jac, cfg.pass_through,
-                                      cfg.n_bins, train, axis_name)
+                                      cfg.n_bins, train, axis_name,
+                                      act=cfg.activation)
     return coupling.pwquad_forward(params, state, x, jac, cfg.pass_through,
-                                   cfg.n_bins, train, axis_name)
+                                   cfg.n_bins, train, axis_name,
+                                   act=cfg.activation)
 
 
 def forward(flow: Flow, params, state, w, train: bool, axis_name=None):
@@ -109,14 +126,61 @@ def forward(flow: Flow, params, state, w, train: bool, axis_name=None):
     return x, jac, tuple(new_state)
 
 
+def apply_cell_t(cfg: CellCfg, params, state, x, jac, train: bool, axis_name=None):
+    if cfg.kind == "affine":
+        return coupling.affine_forward_t(params, state, x, jac,
+                                         cfg.pass_through, train, axis_name)
+    if cfg.kind == "pwlin":
+        return coupling.pwlin_forward_t(params, state, x, jac,
+                                        cfg.pass_through, cfg.n_bins, train,
+                                        axis_name, act=cfg.activation)
+    return coupling.pwquad_forward_t(params, state, x, jac, cfg.pass_through,
+                                     cfg.n_bins, train, axis_name,
+                                     act=cfg.activation)
+
+
+def forward_t(flow: Flow, params, state, w, train: bool, axis_name=None):
+    """Lane-efficient :func:`forward`: internally ``[n_flow, B]`` layout.
+
+    Same math and same ``(x [B, n_flow], jac, new_state)`` contract as
+    :func:`forward` (bit-differences only from reduction order), but with
+    the batch in the TPU lane dimension every elementwise / cumsum /
+    BatchNorm op — and their VJPs under autodiff — is dense VPU work
+    instead of using n_flow of 128 lanes.  This is the training hot path
+    (the eval paths get the same treatment from
+    fast_eval.make_folded_forward_t and the Pallas kernel).
+    """
+    x = w.T
+    jac = jnp.ones((x.shape[1],), dtype=x.dtype)
+    new_state = list(state)
+    for op in flow.ops:
+        tag = op[0]
+        if tag == "cell":
+            idx = op[1]
+            cfg = flow.cells[idx]
+            x, jac, new_state[idx] = apply_cell_t(
+                cfg, params[idx], state[idx], x, jac, train, axis_name)
+        elif tag == "roll":
+            x = jnp.roll(x, op[1], axis=0)
+        elif tag == "gather":
+            x = x[np.asarray(op[1])]
+        elif tag == "scatter":
+            inv = np.empty(len(op[1]), dtype=np.int64)
+            inv[np.asarray(op[1])] = np.arange(len(op[1]))
+            x = x[inv]
+        else:
+            raise ValueError(f"unknown op {tag!r}")
+    return x.T, jac, tuple(new_state)
+
+
 def apply_cell_inverse(cfg: CellCfg, params, state, y, jac, train: bool = False):
     if cfg.kind == "affine":
         return coupling.affine_inverse(params, state, y, jac, cfg.pass_through, train)
     if cfg.kind == "pwlin":
         return coupling.pwlin_inverse(params, state, y, jac, cfg.pass_through,
-                                      cfg.n_bins, train)
+                                      cfg.n_bins, train, act=cfg.activation)
     return coupling.pwquad_inverse(params, state, y, jac, cfg.pass_through,
-                                   cfg.n_bins, train)
+                                   cfg.n_bins, train, act=cfg.activation)
 
 
 def inverse(flow: Flow, params, state, x, train: bool = False):

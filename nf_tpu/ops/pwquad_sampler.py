@@ -46,12 +46,17 @@ DEFAULT_SUB = 32  # sublane tile height; samples per grid step = sub * 128
 # ---------------------------------------------------------------------------
 
 def _fold_conditioner(params, state, eps=1e-5, dtype=np.float32):
-    """Collapse eval-mode [BN] Linear [BN] chains into (W_eff, b_eff) pairs.
+    """Collapse eval-mode [BN] Linear [BN] chains into (W_eff, b_eff, relu)
+    triples.
 
     Eval BatchNorm is affine: y = (x - m) / sqrt(v + eps) * g + b.  Folding it
     into the neighboring Linear keeps the MLP mathematically identical while
     removing all normalization work from the kernel.
-    Returns ``[(W0, b0), ..., (Wf, bf)]`` (ReLU between all but the last).
+    Returns ``[(W0, b0, relu_after), ...]``: hidden layers carry
+    ``relu_after=True``; a low-rank final layer (conditioner.init
+    ``final_rank``) contributes TWO linear-only triples (u then v) with no
+    ReLU between — keeping it factored is the whole point (the kernel's
+    FMA count follows the factor shapes, not the product).
     """
     def bn_affine(p, s):
         scale = np.asarray(p["scale"]) / np.sqrt(np.asarray(s["var"]) + eps)
@@ -73,13 +78,26 @@ def _fold_conditioner(params, state, eps=1e-5, dtype=np.float32):
         s_o, t_o = bn_affine(params["bns"][i], state["bns"][i])
         w_eff = w_eff * s_o[None, :]
         b_eff = b_eff * s_o + t_o
-        layers.append((w_eff.astype(dtype), b_eff.astype(dtype)))
-    wf = np.asarray(params["final"]["w"]).astype(dtype)
-    bf = np.asarray(params["final"]["b"]).astype(dtype)
+        layers.append((w_eff.astype(dtype), b_eff.astype(dtype), True))
+    fin = params["final"]
+    if "u" in fin:
+        u = np.asarray(fin["u"]).astype(dtype)
+        if not params["linears"]:
+            # no hidden layers: fold the input BN into the first factor
+            bu = (t_in @ np.asarray(fin["u"])).astype(dtype)
+            u = (s_in[:, None] * np.asarray(fin["u"])).astype(dtype)
+        else:
+            bu = np.zeros(u.shape[1], dtype)
+        layers.append((u, bu, False))
+        layers.append((np.asarray(fin["v"]).astype(dtype),
+                       np.asarray(fin["b"]).astype(dtype), False))
+        return layers
+    wf = np.asarray(fin["w"]).astype(dtype)
+    bf = np.asarray(fin["b"]).astype(dtype)
     if not params["linears"]:
-        wf = (s_in[:, None] * np.asarray(params["final"]["w"])).astype(dtype)
-        bf = (t_in @ np.asarray(params["final"]["w"])).astype(dtype) + bf
-    layers.append((wf, bf))
+        wf = (s_in[:, None] * np.asarray(fin["w"])).astype(dtype)
+        bf = (t_in @ np.asarray(fin["w"])).astype(dtype) + bf
+    layers.append((wf, bf, False))
     return layers
 
 
@@ -96,11 +114,14 @@ def fold_eval_params(flow, params, state, dtype=np.float32):
 # ---------------------------------------------------------------------------
 
 def _mlp(xs_pass, weight_refs, layer_sizes):
-    """Unrolled scalar-broadcast MLP on a list of [sub, LANE] activations."""
+    """Unrolled scalar-broadcast MLP on a list of [sub, LANE] activations.
+
+    ``layer_sizes``: list of (fan_in, fan_out, relu_after) — see
+    _fold_conditioner (a factored final layer appears as two ReLU-free
+    entries)."""
     h = xs_pass
-    n_layers = len(layer_sizes)
     ref_idx = 0
-    for li, (fan_in, fan_out) in enumerate(layer_sizes):
+    for fan_in, fan_out, relu_after in layer_sizes:
         w_ref = weight_refs[ref_idx]
         b_ref = weight_refs[ref_idx + 1]
         ref_idx += 2
@@ -110,21 +131,33 @@ def _mlp(xs_pass, weight_refs, layer_sizes):
             for i in range(fan_in):
                 acc = acc + h[i] * w_ref[i, o]
             out.append(acc)
-        if li < n_layers - 1:
+        if relu_after:
             out = [jnp.maximum(z, 0.0) for z in out]
         h = out
     return h
 
 
-def _pwquad_dim(z_v, z_w, xB):
+def _pos(z, act):
+    """Kernel-side positivity map (see bijectors.coupling.positivity).
+
+    squareplus trades the ~8-op exp lowering for 2 FMAs + sqrt — the exp
+    count (2*n_bins+1 per transformed dim) is the largest single term in
+    the kernel's VPU op budget after the conditioner matmuls.
+    """
+    if act == "exp":
+        return jnp.exp(z)
+    return 0.5 * (z + jnp.sqrt(z * z + 4.0))
+
+
+def _pwquad_dim(z_v, z_w, xB, act="exp"):
     """One transformed dimension: lists of [sub,LANE] logits -> (yB, pdf).
 
     Mirrors nf_tpu.bijectors.coupling.pwquad_compute with the bin search and
     gathers unrolled as masked selects.
     """
     n_bins = len(z_w)
-    w = [jnp.exp(z) for z in z_w]
-    v = [jnp.exp(z) for z in z_v]
+    w = [_pos(z, act) for z in z_w]
+    v = [_pos(z, act) for z in z_v]
 
     wtot = w[0]
     for k in range(1, n_bins):
@@ -165,11 +198,11 @@ def _pwquad_dim(z_v, z_w, xB):
     return yB, pdf
 
 
-def _pwlin_dim(z_q, xB):
+def _pwlin_dim(z_q, xB, act="exp"):
     """One piecewise-LINEAR transformed dimension (reference
     coupling_cells.py:107-142): list of n_bins [sub,LANE] logits -> (yB, pdf)."""
     n_bins = len(z_q)
-    q = [jnp.exp(z) for z in z_q]
+    q = [_pos(z, act) for z in z_q]
     qtot = q[0]
     for k in range(1, n_bins):
         qtot = qtot + q[k]
@@ -285,12 +318,13 @@ def build_sampler(flow, params, state, interpret: bool = False,
     flat_weights = []
     cell_meta = []
     for cfg, layers in zip(flow.cells, folded):
-        sizes = [(w.shape[0], w.shape[1]) for w, _ in layers]
+        sizes = [(w.shape[0], w.shape[1], relu) for w, _, relu in layers]
         start = len(flat_weights)
-        for w, b in layers:
+        for w, b, _relu in layers:
             flat_weights.append(np.ascontiguousarray(w))
             flat_weights.append(np.ascontiguousarray(b))
-        cell_meta.append((cfg.kind, cfg.pass_through, cfg.n_bins, sizes, start))
+        cell_meta.append((cfg.kind, cfg.pass_through, cfg.n_bins, sizes, start,
+                          cfg.activation))
 
     ops = flow.ops
 
@@ -323,7 +357,7 @@ def build_sampler(flow, params, state, interpret: bool = False,
                     inv[p] = pos
                 xs = [xs[i] for i in inv]
             elif tag == "cell":
-                kind, pass_through, n_bins, sizes, start = cell_meta[op[1]]
+                kind, pass_through, n_bins, sizes, start, act = cell_meta[op[1]]
                 t = n_flow - pass_through
                 wrefs = weight_refs[start:start + 2 * len(sizes)]
                 z = _mlp(xs[:pass_through], wrefs, sizes)
@@ -345,11 +379,11 @@ def build_sampler(flow, params, state, interpret: bool = False,
                             xB = jnp.minimum(xs[pass_through + ti], 1.0 - 1e-6)
                             z_v = z[ti * width: ti * width + n_bins + 1]
                             z_w = z[ti * width + n_bins + 1: (ti + 1) * width]
-                            yB, pdf = _pwquad_dim(z_v, z_w, xB)
+                            yB, pdf = _pwquad_dim(z_v, z_w, xB, act)
                         else:
                             xB = xs[pass_through + ti]
                             z_q = z[ti * width: (ti + 1) * width]
-                            yB, pdf = _pwlin_dim(z_q, xB)
+                            yB, pdf = _pwlin_dim(z_q, xB, act)
                         new_tail.append(yB)
                         jac = jac * pdf
                 xs = xs[:pass_through] + new_tail
@@ -412,7 +446,7 @@ def build_sampler(flow, params, state, interpret: bool = False,
     return sample
 
 
-def estimate_vpu_ops(flow, exp_cost=8, atan_cost=20):
+def estimate_vpu_ops(flow, exp_cost=8, atan_cost=20, sp_cost=5):
     """Static estimate of VPU element-ops per sample for the fused kernel.
 
     Counts one op per elementwise instruction per sample position (FMA = 1)
@@ -430,14 +464,20 @@ def estimate_vpu_ops(flow, exp_cost=8, atan_cost=20):
         # conditioner MLP: fan_in*fan_out FMAs + bias + ReLU per layer
         dims = [cfg.pass_through] + list(cfg.nn_sizes)
         sizes = list(zip(dims[:-1], dims[1:]))
+        if cfg.final_rank is not None:
+            # factored final: prev->r (biasless) then r->out
+            fi, fo = sizes[-1]
+            sizes = sizes[:-1] + [(fi, cfg.final_rank), (cfg.final_rank, fo)]
         for fi, fo in sizes:
             total += fi * fo + fo
-        total += sum(fo for _, fo in sizes[:-1])  # ReLU
+        n_relu = len(cfg.nn_sizes) - 1
+        total += sum(fo for _, fo in sizes[:n_relu])  # ReLU after hiddens only
         nb = cfg.n_bins
+        pos_cost = exp_cost if cfg.activation == "exp" else sp_cost
         if cfg.kind == "pwquad":
-            per_dim = exp_cost * (2 * nb + 1) + 5 * nb + 12 + 8 * nb + 12
+            per_dim = pos_cost * (2 * nb + 1) + 5 * nb + 12 + 8 * nb + 12
         elif cfg.kind == "pwlin":
-            per_dim = exp_cost * nb + 8 * nb + 12
+            per_dim = pos_cost * nb + 8 * nb + 12
         else:
             per_dim = exp_cost + atan_cost + 12
         total += t * (per_dim + 1)  # + jacobian multiply

@@ -29,15 +29,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Empirical per-program width ceiling for this class of vmapped training
+# Initial-guess per-program width for this class of vmapped training
 # programs: runs x mini_batch sample rows.  64 runs x batch 10000 (640k
 # rows) reproducibly faulted the remote v5e runtime in r2 — the failure is
 # NOT a host-visible OOM (the allocator estimate below stays far under the
 # HBM budget); the worker process dies mid-program ("remote TPU worker
 # terminated", connection reset) which is consistent with a runtime/DMA
 # limit rather than memory pressure.  160k rows (16 x 10000) is long-term
-# stable; the ceiling keeps 2x headroom below the observed fault point.
+# stable; the default keeps 2x headroom below the observed fault point.
+#
+# This constant is ONLY a starting point, not a safety guarantee:
+# train_ensemble retries any group whose device program dies with
+# progressively halved group sizes (_ADAPTIVE fallback below), so an
+# environment with a different ceiling converges to a working size instead
+# of faulting permanently.  Bisect the actual boundary on a given runtime
+# with tools/probe_ensemble_ceiling.py.
 MAX_SAMPLE_ROWS_PER_CALL = 320_000
+
+# Exception types treated as "the device program / runtime died" and worth
+# retrying at a smaller group size.  Anything else (shape errors, user f
+# bugs) re-raises immediately.
+_RETRYABLE = (RuntimeError,)
+try:  # jaxlib's runtime error subclass (covers remote-worker termination)
+    from jax.errors import JaxRuntimeError as _JRE
+    _RETRYABLE = (_JRE, RuntimeError)
+except Exception:  # pragma: no cover - older jaxlib layouts
+    pass
+
+# Test hook: when set, any group wider than this raises RuntimeError before
+# dispatch, letting the suite exercise the adaptive-halving path without a
+# real runtime fault (tests/test_ensemble.py::test_adaptive_group_fallback).
+_TEST_FAULT_WIDTH = None
 
 
 def _tree_bytes(tree):
@@ -127,7 +149,11 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
     (:data:`MAX_SAMPLE_ROWS_PER_CALL` — very wide vmapped ensembles fault
     the remote-TPU runtime well below the memory bound; signature
     documented there).  An int forces a size; ``None`` disables grouping.
-    The result dict reports the chosen ``group_size``.
+    Whatever the starting size, a group whose device program dies with a
+    runtime error is retried at half the width (and all remaining groups
+    inherit the reduced size), so a wrong initial guess degrades to extra
+    compiles, not a failed sweep.  The result dict reports the FINAL
+    ``group_size`` actually used.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -278,16 +304,37 @@ def train_ensemble(flow, params_stack, bn_stack, f, optimizer, key,
                   f"({n_runs} runs, mini_batch {mini_batch_size})")
     group_size = n_runs if runs_per_call is None else min(runs_per_call,
                                                           n_runs)
-    if runs_per_call is None or n_runs <= runs_per_call:
-        outs = step(params_stack, bn_stack, run_keys)
-    else:
-        groups = []
-        for s0 in range(0, n_runs, runs_per_call):
-            sl = slice(s0, min(s0 + runs_per_call, n_runs))
-            groups.append(step(
-                jax.tree.map(lambda a: a[sl], params_stack),
-                jax.tree.map(lambda a: a[sl], bn_stack), run_keys[sl]))
-        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *groups)
+
+    def run_group(sl):
+        if _TEST_FAULT_WIDTH is not None and \
+                (sl.stop - sl.start) > _TEST_FAULT_WIDTH:
+            raise RuntimeError("injected ensemble fault (test hook)")
+        return step(jax.tree.map(lambda a: a[sl], params_stack),
+                    jax.tree.map(lambda a: a[sl], bn_stack), run_keys[sl])
+
+    # Adaptive dispatch: if a group's device program dies (remote-runtime
+    # fault — see MAX_SAMPLE_ROWS_PER_CALL), halve the group size and
+    # retry, lowering the size for all remaining groups too.  A failure at
+    # size 1 is not a width problem and re-raises.
+    groups = []
+    s0, cur = 0, group_size
+    while s0 < n_runs:
+        sl = slice(s0, min(s0 + cur, n_runs))
+        try:
+            groups.append(jax.block_until_ready(run_group(sl)))
+        except _RETRYABLE as e:
+            if cur <= 1:
+                raise
+            cur = max(cur // 2, 1)
+            if verbose:
+                print(f"train_ensemble: group of {sl.stop - sl.start} runs "
+                      f"failed ({type(e).__name__}); retrying at group size "
+                      f"{cur}")
+            continue
+        s0 = sl.stop
+    group_size = cur
+    outs = groups[0] if len(groups) == 1 else \
+        jax.tree.map(lambda *xs: jnp.concatenate(xs), *groups)
     (best_p, best_bn, best_metric, best_epoch, killed, history,
      integ_tot, err_tot, int_loss) = outs
     return {

@@ -1,0 +1,123 @@
+"""Opt-in conditioner-cost reducers: low-rank final layer + squareplus.
+
+VERDICT r3 #2: the conditioner MLP is 68.7% of flagship fused-kernel time,
+dominated by the final ``hidden -> transform*(2*n_bins+1)`` matmul and the
+``2*n_bins+1`` exp lowerings per transformed dim.  ``final_rank`` factors
+the final layer; ``activation="squareplus"`` replaces exp in the bin-height
+positivity map (bijectors.coupling.positivity).  Both are opt-in flags on
+``make_cell_cfg`` / factory builders / manager ``create_model``; defaults
+reproduce the reference architecture exactly (reference
+coupling_cells.py:230-254,115,178,189).
+
+These tests pin, for every variant combination: bijectivity (round-trip),
+Jacobian correctness (autodiff determinant), folded-path and Pallas-kernel
+exactness vs the stateful jnp path, identity-init, and manager training.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nf_tpu.flows import factory, fast_eval, model as fmodel
+from nf_tpu.ops import pwquad_sampler
+
+VARIANTS = [(4, "exp"), (None, "squareplus"), (4, "squareplus")]
+
+
+@pytest.mark.parametrize("final_rank,activation", VARIANTS)
+def test_forward_inverse_folded(final_rank, activation):
+    """10-D masked flow: round-trip, inverse Jacobian, folded equality."""
+    flow, params, state = factory.build_pwquad_flow(
+        jax.random.PRNGKey(0), 10, 8, 8, (16, 16), jnp.float32,
+        final_rank=final_rank, activation=activation)
+    w = jax.random.uniform(jax.random.PRNGKey(1), (512, 10),
+                           dtype=jnp.float32)
+    x, jac, _ = fmodel.forward(flow, params, state, w, False)
+    xn = np.asarray(x)
+    assert np.all((xn >= 0) & (xn <= 1))
+    assert np.all(np.asarray(jac) > 0)
+
+    w2, jinv, _ = fmodel.inverse(flow, params, state, x, False)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jac) * np.asarray(jinv), 1.0,
+                               rtol=1e-4)
+
+    xf, jf = fast_eval.make_folded_forward(flow, params, state)(w)
+    np.testing.assert_allclose(np.asarray(xf), xn, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jf), np.asarray(jac), rtol=1e-4)
+
+    xt, jt = fast_eval.make_folded_forward_t(flow, params, state)(w)
+    np.testing.assert_allclose(np.asarray(xt), xn, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jt), np.asarray(jac), rtol=1e-4)
+
+
+@pytest.mark.parametrize("final_rank,activation", VARIANTS)
+def test_jacobian_matches_autodiff(final_rank, activation):
+    """|det dx/dw| from jacfwd == the carried multiplicative Jacobian."""
+    flow, params, state = factory.build_pwquad_flow(
+        jax.random.PRNGKey(2), 4, 4, 6, (8, 8), jnp.float64,
+        final_rank=final_rank, activation=activation)
+    w = jax.random.uniform(jax.random.PRNGKey(3), (4, 4), dtype=jnp.float64)
+
+    def f1(wi):
+        xo, _, _ = fmodel.forward(flow, params, state, wi[None], False)
+        return xo[0]
+
+    for i in range(w.shape[0]):
+        J = jax.jacfwd(f1)(w[i])
+        det = abs(np.linalg.det(np.asarray(J)))
+        _, jac_i, _ = fmodel.forward(flow, params, state, w[i][None], False)
+        np.testing.assert_allclose(det, float(jac_i[0]), rtol=1e-8)
+
+
+@pytest.mark.parametrize("final_rank,activation", VARIANTS)
+def test_kernel_matches_jnp(final_rank, activation):
+    """Interpret-mode fused kernel == folded jnp path on identical latents."""
+    rank = None if final_rank is None else 2     # rank <= hidden width 3
+    flow, params, state = factory.build_pwquad_flow(
+        jax.random.PRNGKey(4), 2, 2, 4, (3, 3, 3), jnp.float32,
+        final_rank=rank, activation=activation)
+    w = jax.random.uniform(jax.random.PRNGKey(5), (256, 2), dtype=jnp.float32)
+    xf, jf = fast_eval.make_folded_forward(flow, params, state)(w)
+    sampler = pwquad_sampler.build_sampler(
+        flow, params, state, interpret=jax.default_backend() == "cpu",
+        take_latents=True, tile_sub=8)
+    xk, jk = sampler(w)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xf), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(jk), np.asarray(jf), rtol=2e-5)
+
+
+def test_identity_init_low_rank():
+    """identity_init zeroes v+b of a factored final: flow == identity."""
+    flow, params, state = factory.build_pwquad_flow(
+        jax.random.PRNGKey(6), 3, 3, 8, (8,), jnp.float64,
+        final_rank=2, activation="squareplus")
+    params = factory.identity_init(params)
+    w = jax.random.uniform(jax.random.PRNGKey(7), (64, 3), dtype=jnp.float64)
+    x, jac, _ = fmodel.forward(flow, params, state, w, False)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(w), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jac), 1.0, rtol=1e-12)
+
+
+def test_manager_trains_variant():
+    """PWQuadManager.create_model(final_rank=, activation=) trains and
+    improves on camel-2D; the variant plumbs through the full train path
+    (batch-stats BN, take_bin autodiff, optax)."""
+    from nf_tpu.training.manager import PWQuadManager
+    from nf_tpu.training import optimizers
+
+    def camel(x):
+        return (jnp.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.04)
+                + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
+
+    nf = PWQuadManager(n_flow=2, seed=0)
+    nf.create_model(2, 6, [8, 8], final_rank=4, activation="squareplus")
+    sig, err = nf._train_variance_forward_seq(
+        camel, optimizers.adamax(3e-3), log=False, batch_size=2000, epochs=30,
+        pretty_progressbar=False, mini_batch_size=2000, integrate=True,
+        preburn_time=5, kill_counter=1000)
+    assert err > 0
+    # the trained variant flow must beat uniform sampling variance
+    assert nf.best_loss < nf.int_loss

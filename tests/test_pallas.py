@@ -46,9 +46,9 @@ def test_folded_params_match_eval_forward(small_flow):
             cfg = flow.cells[op[1]]
             layers = folded[op[1]]
             h = x[:, :cfg.pass_through]
-            for li, (W, b) in enumerate(layers):
+            for W, b, relu in layers:
                 h = h @ W + b
-                if li < len(layers) - 1:
+                if relu:
                     h = np.maximum(h, 0.0)
             t = cfg.flow_size - cfg.pass_through
             z = h.reshape(h.shape[0], t, 2 * cfg.n_bins + 1)
