@@ -233,7 +233,7 @@ class BasicManager(ModelAPI):
                                     pathwise=False, epochs_per_sync="auto",
                                     select_best_by="loss", resume_from=None,
                                     progress_callback=None,
-                                    train_layout="dim_major"):
+                                    train_layout="batch_major"):
         """Train with the integrand variance as loss; Jacobian from the forward
         pass (fixed latent sample, gradient through the Jacobian only).
 
@@ -411,11 +411,13 @@ class BasicManager(ModelAPI):
 
         # ---- jitted epoch step (reference manager.py:212-280)
         optimizer = optimizer_object
-        # dim_major: lane-efficient [n_flow, B] internal layout for the hot
-        # forward+backward (fmodel.forward_t) — same math, measured several-x
-        # faster on TPU at production batch sizes since n_flow = O(10) wastes
-        # 118/128 lanes in batch-major elementwise/BN/cumsum work.
-        # batch_major falls back to the reference-layout fmodel.forward.
+        # dim_major: [n_flow, B] internal layout for the hot forward+backward
+        # (fmodel.forward_t).  Same math; kept as a flag because the measured
+        # result is a NEGATIVE one worth preserving: on TPU v5e both layouts
+        # run within 3% at 1M-batch camel-2D AND the 10-D flagship (XLA picks
+        # its own internal layouts; the naive lane-padding argument does not
+        # survive contact with the compiler — see tools/profile_train_split.py
+        # for where the train step's time actually goes).
         if train_layout not in ("dim_major", "batch_major"):
             raise ValueError(f"unknown train_layout {train_layout!r}")
         train_fwd = fmodel.forward_t if train_layout == "dim_major" \
@@ -466,8 +468,18 @@ class BasicManager(ModelAPI):
                     return new_bn, (l, g, ii, ei, vi, qi)
 
                 keys = jax.random.split(key, n_minibatches)
-                bn_state, (ls, gs, iis, eis, vis, qis) = jax.lax.scan(
-                    minibatch, bn_state, keys)
+                if n_minibatches == 1:
+                    # skip the scan: a length-1 lax.scan still emits a while
+                    # loop + grad stacking via dynamic-update-slice (~13% of
+                    # the flagship step in the r4 device profile)
+                    bn_state, (l1, g1, ii1, ei1, vi1, qi1) = minibatch(
+                        bn_state, keys[0])
+                    ls, gs = l1[None], jax.tree.map(lambda g: g[None], g1)
+                    iis, eis = ii1[None], ei1[None]
+                    vis, qis = vi1[None], qi1[None]
+                else:
+                    bn_state, (ls, gs, iis, eis, vis, qis) = jax.lax.scan(
+                        minibatch, bn_state, keys)
                 loss = jnp.mean(ls)
                 grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gs)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -495,10 +507,9 @@ class BasicManager(ModelAPI):
         by_ess = select_best_by == "ess"
         int_loss_d = jnp.asarray(self.int_loss, dtype)
 
-        @partial(jax.jit, static_argnames=("k",))
-        def chunk_step(params, bn_state, opt_state, best_metric_d, best_pb,
-                       sm_preburner, sm_counter, sm_last_loss, key, i0,
-                       end_d, k):
+        def chunk_fn(params, bn_state, opt_state, best_metric_d, best_pb,
+                     sm_preburner, sm_counter, sm_last_loss, key, i0,
+                     end_d, k):
             """One fixed-size chunk of k epochs; epochs with global index
             >= end_d are masked to no-ops, so a single compiled graph serves
             every chunk of a run (end_d is a traced scalar, k is static)."""
@@ -555,6 +566,8 @@ class BasicManager(ModelAPI):
             carry, outs = jax.lax.scan(body, init, (keys, i_gs))
             return carry, outs
 
+        chunk_step = jax.jit(chunk_fn, static_argnames=("k",))
+
         params, bn_state = self._params, self._bn_state
         if rs is None:
             opt_state = optimizer.init(params)
@@ -565,11 +578,13 @@ class BasicManager(ModelAPI):
                 fser.from_state_dict(optimizer.init(params),
                                      rs["opt_state"]))
 
-        # retained for benchmark_train_step (device-time training metric)
+        # retained for benchmark_train_step (device-time training metric);
+        # the UNjitted chunk_fn is kept so the benchmark can chain chunks
+        # inside one jit and difference away the per-dispatch latency
         auto_sync_pre = epochs_per_sync == "auto"
         k0_pre = check_time if auto_sync_pre else max(int(epochs_per_sync), 1)
-        self._bench_chunk = (chunk_step, max(min(k0_pre, epochs), 1),
-                            batch_size)
+        self._bench_chunk = (chunk_step, chunk_fn,
+                             max(min(k0_pre, epochs), 1), batch_size)
 
         # ---- host-side epoch loop with the early-stop state machine
         # (reference manager.py:212-327)
@@ -824,7 +839,7 @@ class BasicManager(ModelAPI):
         first timed call costs no compile).
         """
         import time as _time
-        chunk_step, k0, batch_size = self._bench_chunk
+        _, chunk_fn, k0, batch_size = self._bench_chunk
         key = key if key is not None else jax.random.PRNGKey(1234)
         best_metric = jnp.asarray(
             self.best_loss if np.isfinite(self.best_loss) else 1.0,
@@ -834,13 +849,36 @@ class BasicManager(ModelAPI):
                 jnp.asarray(0, jnp.int32), jnp.asarray(1000.0, self.dtype),
                 key, jnp.asarray(0, jnp.int32),
                 jnp.asarray(1 << 30, jnp.int32))
-        jax.block_until_ready(chunk_step(*args, k=k0))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = _time.perf_counter()
-            jax.block_until_ready(chunk_step(*args, k=k0))
-            best = min(best, _time.perf_counter() - t0)
-        sec_per_epoch = best / k0
+
+        # chain m chunks inside ONE jit (threading params/bn/opt through)
+        # and difference two m values, so this environment's fixed
+        # per-dispatch tunnel latency (~24+ ms; grows with executable size)
+        # cancels exactly — same protocol as bench.paired_scan_rate.  A
+        # naive time(chunk)/k0 overstated the 1M-batch camel epoch ~2x.
+        @partial(jax.jit, static_argnames=("m",))
+        def multi(a, m):
+            def body(carry, j):
+                p, bn, opt, bm, bpb, pre, cnt, ll = carry
+                c, _ = chunk_fn(p, bn, opt, bm, bpb, pre, cnt, ll,
+                                jax.random.fold_in(a[8], j), a[9], a[10],
+                                k=k0)
+                return c[:8], None
+            carry, _ = jax.lax.scan(body, (a[0], a[1], a[2], a[3], a[4],
+                                           a[5], a[6], a[7]),
+                                    jnp.arange(m, dtype=jnp.int32))
+            return carry[3]
+
+        def timed(m):
+            jax.block_until_ready(multi(args, m=m))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = _time.perf_counter()
+                jax.block_until_ready(multi(args, m=m))
+                best = min(best, _time.perf_counter() - t0)
+            return best
+
+        m1, m2 = 1, 3
+        sec_per_epoch = (timed(m2) - timed(m1)) / ((m2 - m1) * k0)
         return sec_per_epoch, batch_size / sec_per_epoch
 
     # -- post-training integrator (reference manager.py:380-405) ------------
