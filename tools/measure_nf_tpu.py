@@ -53,7 +53,7 @@ def measure_camel(args):
         return (jnp.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.04)
                 + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
 
-    NF = PWQuadManager(n_flow=2, seed=0)
+    NF = PWQuadManager(n_flow=2, seed=args.seed)
     NF.create_model(2, 4, [3] * 3)
     t0 = time.time()
     sig, sig_err = NF._train_variance_forward_seq(
@@ -100,7 +100,7 @@ def measure_dy(args):
         shat = lorentz.square(momenta[:, 0, :] + momenta[:, 1, :])
         return 1e4 / ((shat - MZ2) ** 2 + MZ2 * GZ ** 2) * wgt
 
-    NF = PWQuadManager(n_flow=n_flow, seed=0)
+    NF = PWQuadManager(n_flow=n_flow, seed=args.seed)
     NF.create_model(args.dy_cells, args.dy_bins, [args.dy_width] * 2)
     t0 = time.time()
     sig, sig_err = NF._train_variance_forward_seq(
@@ -112,6 +112,11 @@ def measure_dy(args):
 
     eff, ess = unweighting_efficiency(NF, integrand)
     sig2, sig_err2 = NF.integrate(integrand, 8, 1 << 19, seed=11)
+    # the reference's iw combination biases LOW on resonant heavy tails
+    # (documented in BasicManager.integrate); report the unbiased pooled
+    # mean too so the table can show both
+    sig3, sig_err3 = NF.integrate(integrand, 8, 1 << 19, seed=11,
+                                  combine="mean")
     analytic_pb = 3.6568  # scipy.quad reduction, tests/test_physics_validation.py
     print(json.dumps({
         "config": f"DY 2->2 tau-convolved ToyPDF, PWQuad({args.dy_cells},"
@@ -122,6 +127,8 @@ def measure_dy(args):
         "train_sigma_err_pb": float(sig_err) / GEV2_TO_PB,
         "integrate_sigma_pb": float(sig2) / GEV2_TO_PB,
         "integrate_sigma_err_pb": float(sig_err2) / GEV2_TO_PB,
+        "integrate_sigma_pb_mean_combine": float(sig3) / GEV2_TO_PB,
+        "integrate_sigma_err_pb_mean_combine": float(sig_err3) / GEV2_TO_PB,
         "analytic_sigma_pb": analytic_pb,
         "unweighting_efficiency": eff,
         "ess_fraction": ess,
@@ -138,6 +145,7 @@ def main():
     ap.add_argument("--dy-bins", type=int, default=16)
     ap.add_argument("--dy-width", type=int, default=16)
     ap.add_argument("--preburn", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.dy:
         return measure_dy(args)

@@ -86,7 +86,7 @@ def measure_dy(args):
         shat = p[:, 0] ** 2 - p[:, 1] ** 2 - p[:, 2] ** 2 - p[:, 3] ** 2
         return 1e4 / ((shat - MZ2) ** 2 + MZ2 * GZ ** 2) * wgt
 
-    torch.manual_seed(0)
+    torch.manual_seed(args.seed)
     NF = PWQuadManager(n_flow=n_flow)
     NF.create_model(args.dy_cells, args.dy_bins,
                     [args.dy_width] * 2)
@@ -130,6 +130,7 @@ def main():
     ap.add_argument("--dy-bins", type=int, default=16)
     ap.add_argument("--dy-width", type=int, default=16)
     ap.add_argument("--preburn", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.dy:
         return measure_dy(args)
@@ -140,7 +141,7 @@ def main():
         return (torch.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.2 ** 2)
                 + torch.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.2 ** 2))
 
-    torch.manual_seed(0)
+    torch.manual_seed(args.seed)
     NF = PWQuadManager(n_flow=2)
     NF.create_model(2, 4, [3] * 3)
     optim = torch.optim.Adamax(NF._model.parameters(), lr=2e-3, weight_decay=1e-4)
