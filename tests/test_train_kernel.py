@@ -1,0 +1,162 @@
+"""Fused training kernels (nf_tpu.ops.pwquad_train; docs/TRAIN_KERNEL.md).
+
+The kernels implement frozen-statistics training: forward == the folded
+eval path bit-for-bit structure (same math as fast_eval/make_folded_forward
+with the clamp), backward == the hand-derived closed-form VJP.  These tests
+pin, in Pallas interpret mode on CPU:
+
+  1. fold_flow_jnp == the host np fold (pwquad_sampler.fold_eval_params);
+  2. kernel forward == folded_forward_ref == the stateful eval forward;
+  3. kernel VJP == jax autodiff of folded_forward_ref, for both the jac
+     cotangent (the variance-loss path) and the x cotangent (pathwise),
+     w.r.t. every folded array AND the latents;
+  4. end-to-end grads w.r.t. RAW parameters (through the differentiable
+     fold) == autodiff of the composed jnp path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nf_tpu.flows import factory, model as fmodel
+from nf_tpu.ops import pwquad_train as ptk
+from nf_tpu.ops.pwquad_sampler import fold_eval_params
+
+def _masked_mini(k):
+    """Handcrafted 2-cell masked flow: exercises the gather/scatter
+    cotangent path at a fraction of the factory masked build's interpret
+    cost (interpret mode executes per-op Python; the full 2n-cell masked
+    factory config ran >50 min on this 1-core host)."""
+    from nf_tpu.bijectors.permutations import mask_partition
+    from nf_tpu.flows.model import Flow, make_cell_cfg, init_cell
+
+    n_flow = 4
+    cells, ops = [], []
+    for i in range(2):
+        feeder, trafoer = mask_partition(n_flow, i)
+        perm = tuple(feeder.tolist() + trafoer.tolist())
+        cells.append(make_cell_cfg("pwquad", n_flow, len(feeder), 3, (4,)))
+        ops.append(("gather", perm))
+        ops.append(("cell", i))
+        ops.append(("scatter", perm))
+    flow = Flow(n_flow, tuple(cells), tuple(ops))
+    keys = jax.random.split(k, 2)
+    ps, ss = zip(*[init_cell(keys[i], cells[i], jnp.float32)
+                   for i in range(2)])
+    return flow, list(ps), list(ss)
+
+
+CONFIGS = [
+    ("camel", lambda k: factory.build_pwquad_flow(
+        k, 2, 2, 4, (3, 3, 3), jnp.float32)),
+    ("masked_mini", _masked_mini),
+    ("rank_sp", lambda k: factory.build_pwquad_flow(
+        k, 3, 2, 3, (4,), jnp.float32,
+        final_rank=2, activation="squareplus")),
+]
+
+
+def _setup(build, n=384, seed=0):
+    flow, params, state = build(jax.random.PRNGKey(seed))
+    # train the BN state away from init so folds are nontrivial
+    w0 = jax.random.uniform(jax.random.PRNGKey(seed + 1), (256, flow.n_flow),
+                            dtype=jnp.float32)
+    _, _, state = fmodel.forward(flow, params, state, w0, True)
+    flat, meta = ptk.fold_flow_jnp(flow, params, state)
+    w = jax.random.uniform(jax.random.PRNGKey(seed + 2), (n, flow.n_flow),
+                           dtype=jnp.float32)
+    return flow, params, state, flat, meta, w
+
+
+@pytest.mark.parametrize("name,build", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_fold_jnp_matches_np(name, build):
+    flow, params, state, flat, meta, _ = _setup(build)
+    folded_np = fold_eval_params(flow, params, state)
+    i = 0
+    for layers in folded_np:
+        for wm, bv, relu in layers:
+            np.testing.assert_allclose(np.asarray(flat[i]), wm, rtol=2e-6,
+                                       atol=1e-7)
+            np.testing.assert_allclose(np.asarray(flat[i + 1]), bv,
+                                       rtol=2e-6, atol=1e-7)
+            i += 2
+    assert i == len(flat)
+
+
+@pytest.mark.parametrize("name,build", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_forward_matches_reference(name, build):
+    flow, params, state, flat, meta, w = _setup(build)
+    x_ref, jac_ref = ptk.folded_forward_ref(flow, meta, flat, w)
+    # the frozen-stats reference must itself equal the eval-mode stateful
+    # forward (same math, BN folded)
+    x_ev, jac_ev, _ = fmodel.forward(flow, params, state, w, False)
+    np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_ev),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(jac_ref), np.asarray(jac_ev),
+                               rtol=2e-4)
+
+    fwd_k, _ = ptk.build_train_kernels(flow, meta, interpret=True)
+    x_k, jac_k, stage = fwd_k(flat, w)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(jac_k), np.asarray(jac_ref),
+                               rtol=3e-5)
+    # staged residuals: cell 0's input state is the latents (possibly
+    # permuted by leading ops; for these builds cell 0 comes first)
+    assert stage.shape[0] == len(flow.cells)
+
+
+@pytest.mark.parametrize("name,build", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_vjp_matches_autodiff(name, build):
+    flow, params, state, flat, meta, w = _setup(build, n=384)
+    f = ptk.make_fused_train_fn(flow, meta, interpret=True)
+
+    kx = jax.random.normal(jax.random.PRNGKey(7), (384, flow.n_flow),
+                           dtype=jnp.float32) * 0.3
+    kj = jax.random.normal(jax.random.PRNGKey(8), (384,),
+                           dtype=jnp.float32)
+
+    def loss_kernel(fl, wl):
+        x, jac = f(fl, wl)
+        return jnp.sum(x * kx) + jnp.sum(jac * kj) \
+            + jnp.mean((jac - jnp.mean(jac)) ** 2)
+
+    def loss_ref(fl, wl):
+        x, jac = ptk.folded_forward_ref(flow, meta, fl, wl)
+        return jnp.sum(x * kx) + jnp.sum(jac * kj) \
+            + jnp.mean((jac - jnp.mean(jac)) ** 2)
+
+    gk_f, gk_w = jax.grad(loss_kernel, argnums=(0, 1))(flat, w)
+    gr_f, gr_w = jax.grad(loss_ref, argnums=(0, 1))(flat, w)
+    for a, b in zip(gk_f, gr_f):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, rtol=2e-3)
+    scale = max(float(jnp.max(jnp.abs(gr_w))), 1e-3)
+    np.testing.assert_allclose(np.asarray(gk_w), np.asarray(gr_w),
+                               atol=2e-4 * scale, rtol=2e-3)
+
+
+def test_end_to_end_raw_param_grads():
+    """Grads w.r.t. RAW params through the differentiable fold equal
+    autodiff of the composed frozen-stats jnp path."""
+    flow, params, state, flat, meta, w = _setup(CONFIGS[0][1], n=256)
+    f = ptk.make_fused_train_fn(flow, meta, interpret=True)
+
+    def loss_kernel(p):
+        fl, _ = ptk.fold_flow_jnp(flow, p, state)
+        x, jac = f(fl, w)
+        return jnp.mean((jac - jnp.mean(jac)) ** 2) + jnp.sum(x) * 1e-3
+
+    def loss_ref(p):
+        fl, _ = ptk.fold_flow_jnp(flow, p, state)
+        x, jac = ptk.folded_forward_ref(flow, meta, fl, w)
+        return jnp.mean((jac - jnp.mean(jac)) ** 2) + jnp.sum(x) * 1e-3
+
+    gk = jax.grad(loss_kernel)(params)
+    gr = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4 * scale, rtol=3e-3)
