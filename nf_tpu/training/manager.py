@@ -233,7 +233,9 @@ class BasicManager(ModelAPI):
                                     pathwise=False, epochs_per_sync="auto",
                                     select_best_by="loss", resume_from=None,
                                     progress_callback=None,
-                                    train_layout="batch_major"):
+                                    train_layout="batch_major",
+                                    bn_stats="batch", stats_every=4,
+                                    _force_train_kernel=False):
         """Train with the integrand variance as loss; Jacobian from the forward
         pass (fixed latent sample, gradient through the Jacobian only).
 
@@ -292,6 +294,19 @@ class BasicManager(ModelAPI):
         ``epoch_start = <epochs already run>``; the reference's
         ``epoch_start`` knob (manager.py:66) only renumbers epochs and has
         no restore at all.
+
+        ``bn_stats="stale"`` (opt-in; default ``"batch"`` is the reference's
+        torch train-mode semantics) trains with one-step-lagged BatchNorm
+        statistics: BN is folded into the conditioner weights inside each
+        step (gradients treat the statistics as constants) and the running
+        stats are refreshed every ``stats_every`` epochs by one
+        batch-statistics forward.  This removes all cross-sample coupling
+        from the backward, which lets the whole forward+backward run as the
+        fused Pallas training kernel (ops/pwquad_train.py, TPU; the CPU
+        fallback uses the identical frozen-stats XLA path) — the design and
+        measured rationale live in docs/TRAIN_KERNEL.md.  pwquad flows
+        only; validate convergence per target (tests pin camel-2D
+        equivalence).
         """
         del dev
         if loss_mode not in ("var", "est", "kl"):
@@ -423,13 +438,46 @@ class BasicManager(ModelAPI):
         train_fwd = fmodel.forward_t if train_layout == "dim_major" \
             else fmodel.forward
 
+        # ---- stale-stats fused trainer (docstring; docs/TRAIN_KERNEL.md)
+        if bn_stats not in ("batch", "stale"):
+            raise ValueError(f"unknown bn_stats {bn_stats!r}")
+        use_stale = bn_stats == "stale"
+        if use_stale:
+            from nf_tpu.ops import pwquad_train as _ptk
+            _, _tk_meta = _ptk.fold_flow_jnp(flow, self._params,
+                                             self._bn_state)
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu or _force_train_kernel:
+                _fused = _ptk.make_fused_train_fn(flow, _tk_meta,
+                                                  interpret=not on_tpu)
+            else:
+                # CPU fallback: identical frozen-stats math, plain XLA
+                _fused = None
+            # stats refresh uses a bounded batch: statistics need modest
+            # precision and the refresh is an XLA train-mode forward (the
+            # cost the kernel exists to avoid)
+            stats_batch = int(min(mini_batch_size, 1 << 16))
+
         def make_epoch_body(preburn: bool):
-            def epoch_step(params, bn_state, opt_state, key):
+            def epoch_step(params, bn_state, opt_state, key, i_g):
                 def minibatch(bn_carry, k):
                     w = self._shard_batch(_uniform(k, (mini_batch_size, n_flow), dtype))
 
                     def loss_fn(p):
-                        x, jacv, new_bn = train_fwd(flow, p, bn_carry, w, True)
+                        if use_stale:
+                            flat, _ = _ptk.fold_flow_jnp(flow, p, bn_carry)
+                            if _fused is not None:
+                                x, jacv = _fused(flat, w.astype(jnp.float32))
+                            else:
+                                x, jacv = _ptk.folded_forward_ref(
+                                    flow, _tk_meta, flat,
+                                    w.astype(jnp.float32))
+                            x = x.astype(dtype)
+                            jacv = jacv.astype(dtype)
+                            new_bn = bn_carry
+                        else:
+                            x, jacv, new_bn = train_fwd(flow, p, bn_carry, w,
+                                                        True)
                         if preburn:
                             # loss on LATENT points: flattens J against f
                             # before the map moves (reference manager.py:237-242)
@@ -484,6 +532,19 @@ class BasicManager(ModelAPI):
                 grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gs)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
+                if use_stale:
+                    # refresh the (stale) running statistics every
+                    # stats_every epochs with one bounded-batch
+                    # batch-statistics forward (torch momentum EMA)
+                    def _refresh(args):
+                        p2, b2, kr = args
+                        ws = self._shard_batch(
+                            _uniform(kr, (stats_batch, n_flow), dtype))
+                        _, _, nb = train_fwd(flow, p2, b2, ws, True)
+                        return nb
+                    bn_state = jax.lax.cond(
+                        i_g % stats_every == 0, _refresh, lambda a: a[1],
+                        (params, bn_state, jax.random.fold_in(key, 777)))
                 mean_w = jnp.mean(iis)
                 ess = mean_w ** 2 / jnp.maximum(jnp.mean(qis), 1e-300)
                 return (params, bn_state, opt_state, loss,
@@ -519,7 +580,7 @@ class BasicManager(ModelAPI):
                 pre_in = pre  # state at epoch start, for host consistency
                 params, bn, opt, loss, var, ii, ei, ess = jax.lax.cond(
                     pre, epoch_body_preburn, epoch_body_normal,
-                    params, bn, opt, ek)
+                    params, bn, opt, ek, i_g)
                 # best update (host: improved and not preburner)
                 improved = jnp.logical_and(
                     jnp.logical_and(~pre, ~killed),
@@ -697,7 +758,8 @@ class BasicManager(ModelAPI):
                 next_i += 1
                 step = epoch_step_preburn if sm["preburner"] else epoch_step_normal
                 params, bn_state, opt_state, loss_d, var_d, integ_e, err_e, ess_d = \
-                    step(params, bn_state, opt_state, self._next_key())
+                    step(params, bn_state, opt_state, self._next_key(),
+                         jnp.asarray(i, jnp.int32))
                 p_now, bn_now = params, bn_state
                 stop = process_epoch(i, float(loss_d), float(var_d),
                                      float(integ_e), float(err_e), float(ess_d),

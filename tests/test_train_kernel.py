@@ -160,3 +160,48 @@ def test_end_to_end_raw_param_grads():
         scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4 * scale, rtol=3e-3)
+
+
+def _camel(x):
+    return (jnp.exp(-((x[:, 0] - 0.75) ** 2 + (x[:, 1] - 0.75) ** 2) / 0.04)
+            + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
+
+
+def test_manager_stale_mode_converges():
+    """bn_stats="stale" (frozen-stats gradients, periodic stats refresh)
+    trains camel-2D to quality comparable with the reference "batch"
+    semantics.  On CPU this exercises the identical-math XLA fallback; the
+    Pallas kernel path is pinned separately below and in the VJP tests."""
+    from nf_tpu.training.manager import PWQuadManager
+    from nf_tpu.training import optimizers
+
+    results = {}
+    for mode in ("batch", "stale"):
+        nf = PWQuadManager(n_flow=2, seed=0)
+        nf.create_model(2, 4, [3] * 3)
+        nf._train_variance_forward_seq(
+            _camel, optimizers.adamax(2e-3, 1e-4), log=False,
+            batch_size=2000, epochs=60, preburn_time=5, kill_counter=1000,
+            mini_batch_size=2000, pretty_progressbar=False, integrate=True,
+            bn_stats=mode)
+        results[mode] = float(nf.best_loss)
+        assert nf.best_loss < nf.int_loss  # beat uniform sampling
+    # same order of quality (stale may differ either way within ~2x on
+    # this short run; the guard is against silent breakage, not noise)
+    assert results["stale"] < 2.0 * results["batch"]
+
+
+def test_manager_stale_kernel_forced():
+    """The fused Pallas kernel trains end-to-end through the manager
+    (interpret mode, tiny run): fold -> kernel fwd -> custom VJP -> optax."""
+    from nf_tpu.training.manager import PWQuadManager
+    from nf_tpu.training import optimizers
+
+    nf = PWQuadManager(n_flow=2, seed=0)
+    nf.create_model(2, 4, [3] * 3)
+    nf._train_variance_forward_seq(
+        _camel, optimizers.adamax(2e-3, 1e-4), log=False,
+        batch_size=256, epochs=3, preburn_time=1, mini_batch_size=256,
+        pretty_progressbar=False, bn_stats="stale",
+        _force_train_kernel=True, epochs_per_sync=1)
+    assert np.isfinite(float(nf.best_loss))
