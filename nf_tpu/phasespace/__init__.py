@@ -10,6 +10,7 @@ from nf_tpu.phasespace.topology import (
     ResonanceDecayPhasespace,
     UniformSMap,
     multichannel_integrand,
+    optimize_alphas,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "PowerSMap",
     "UniformSMap",
     "multichannel_integrand",
+    "optimize_alphas",
 ]

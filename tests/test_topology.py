@@ -295,3 +295,31 @@ def test_topology_validation():
     with pytest.raises(ValueError):
         chain_mass_map(FlatInvertiblePhasespace([0.0, 0.0], [0.0] * 2),
                        E, BreitWignerSMap(MZ, GZ))
+
+
+def test_optimize_alphas_kleiss_pittau():
+    """The Kleiss-Pittau iteration shifts weight toward the channel the
+    ME is actually resonant in, lowers the sampled variance, and stays
+    unbiased at every iterate."""
+    from nf_tpu.phasespace import optimize_alphas
+
+    ch1 = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 1), (2, 3)),
+        mass_maps={(0, 1): BreitWignerSMap(MZ, GZ),
+                   (2, 3): BreitWignerSMap(MZ, GZ)})
+    ch2 = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 2), (1, 3)),
+        mass_maps={(0, 2): BreitWignerSMap(MZ, GZ),
+                   (1, 3): BreitWignerSMap(MZ, GZ)})
+    # start heavily MIS-weighted toward the wrong pairing
+    alphas, hist = optimize_alphas(
+        double_bw, [ch1, ch2], [0.15, 0.85], E,
+        jax.random.PRNGKey(3), n_iter=4, n_samples=1 << 15)
+    # double_bw is resonant in the (01)(23) pairing -> channel 1 wins
+    assert alphas[0] > 0.6
+    assert hist[-1]["variance"] < 0.5 * hist[0]["variance"]
+    # every iterate's integral estimate is unbiased
+    I_an = analytic_double_bw(E) / (2 * E ** 2)
+    for h in hist:
+        err = np.sqrt(h["variance"] / (1 << 15))
+        assert abs(h["integral"] - I_an) < 6 * err
