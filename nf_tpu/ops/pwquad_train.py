@@ -122,8 +122,6 @@ def folded_forward_ref(flow, meta, flat, w):
         if tag == "cell":
             idx = op[1]
             cfg = flow.cells[idx]
-            if cfg.kind != "pwquad":
-                raise ValueError("train kernel v1 supports pwquad cells only")
             pt = cfg.pass_through
             t = cfg.flow_size - pt
             h = x[:, :pt]
@@ -134,11 +132,40 @@ def folded_forward_ref(flow, meta, flat, w):
                     + flat[base + 2 * j + 1]
                 if relu:
                     h = jnp.maximum(h, 0.0)
-            z = h.reshape(h.shape[0], t, 2 * cfg.n_bins + 1)
-            xB = jnp.minimum(x[:, pt:], 1.0 - 1e-6)
-            yB, factor = coupling.pwquad_compute(
-                z[:, :, : cfg.n_bins + 1], z[:, :, cfg.n_bins + 1:], xB,
-                cfg.activation)
+            if cfg.kind == "pwquad":
+                z = h.reshape(h.shape[0], t, 2 * cfg.n_bins + 1)
+                xB = jnp.minimum(x[:, pt:], 1.0 - 1e-6)
+                yB, factor = coupling.pwquad_compute(
+                    z[:, :, : cfg.n_bins + 1], z[:, :, cfg.n_bins + 1:],
+                    xB, cfg.activation)
+            elif cfg.kind == "pwlin":
+                xB = x[:, pt:]
+                q = coupling.positivity(
+                    h.reshape(h.shape[0], t, cfg.n_bins), cfg.activation)
+                qsum = jnp.cumsum(q, axis=-1)
+                qnorm = qsum[:, :, -1:]
+                q = q / (qnorm / cfg.n_bins)
+                qsum = jnp.concatenate(
+                    [jnp.zeros_like(qsum[:, :, :1]), qsum / qnorm], axis=-1)
+                a = xB * cfg.n_bins
+                bins = jnp.minimum(jnp.floor(a).astype(jnp.int32),
+                                   cfg.n_bins - 1)
+                alphas = (a - bins) / cfg.n_bins
+                cdf_int = coupling.take_bin(qsum, bins[:, :, None], axis=-1)
+                cdf_flt = coupling.take_bin(q, bins[:, :, None], axis=-1)
+                yB = cdf_flt * alphas + cdf_int
+                factor = jnp.prod(cdf_flt, axis=-1)
+            else:  # affine (reference 2/pi once-per-cell quirk)
+                import math as _math
+                xB = x[:, pt:]
+                z = h.reshape(h.shape[0], 2, t)
+                s0 = jnp.exp(z[:, 0])
+                s1 = jnp.maximum(z[:, 1], 0.0)
+                u = xB * (20.0 * s0) + s1
+                yB = jnp.arctan(u) / (_math.pi / 2.0)
+                factor = jnp.prod(20.0 * s0, axis=1) \
+                    * (1.0 / (_math.pi / 2.0)) \
+                    * jnp.prod(1.0 / (u * u + 1.0), axis=1)
             x = jnp.concatenate([x[:, :pt], yB], axis=1)
             jac = jac * factor
         elif tag == "roll":
@@ -269,6 +296,102 @@ def _pwquad_dim_bwd(q, ybar, pbar):
     return zvbar, zwbar, xbar
 
 
+def _pwlin_quants(z_q, x, act):
+    """Forward quantities of one piecewise-LINEAR dim (unrolled)."""
+    n_bins = len(z_q)
+    q_raw, dq = zip(*[_pos_and_grad(z, act) for z in z_q])
+    Q = q_raw[0]
+    for k in range(1, n_bins):
+        Q = Q + q_raw[k]
+    inv_Q = 1.0 / Q
+    pdf = [qk * inv_Q * n_bins for qk in q_raw]   # mean-n_bins heights
+
+    t = x * n_bins
+    zero = jnp.zeros_like(x)
+    sel = []
+    pdf_b = zero
+    cdf_lo = zero
+    base_b = zero
+    cdf = zero
+    cum_sel = zero
+    pre = []
+    for k in range(n_bins):
+        upper = jnp.full_like(x, float(k + 1)) if k < n_bins - 1 \
+            else jnp.full_like(x, 2.0 * n_bins)
+        m = jnp.logical_and(t >= float(k), t < upper).astype(jnp.float32)
+        sel.append(m)
+        pdf_b = pdf_b + m * pdf[k]
+        cdf_lo = cdf_lo + m * cdf
+        base_b = base_b + m * float(k)
+        cdf = cdf + pdf[k] / n_bins
+        cum_sel = cum_sel + m
+        pre.append(1.0 - cum_sel)  # [k < b], robust at x == 1
+    alpha = (t - base_b) / n_bins
+    y = pdf_b * alpha + cdf_lo
+    return dict(n_bins=n_bins, dq=dq, inv_Q=inv_Q, pdf=pdf, sel=sel,
+                pre=pre, pdf_b=pdf_b, alpha=alpha, y=y, p=pdf_b)
+
+
+def _pwlin_dim_bwd(q, ybar, pbar):
+    """Closed-form VJP of one pwlin dim: returns (zqbar list, xbar).
+
+    y = pdf_b * alpha + sum_{j<b} pdf_j / n; p = pdf_b; alpha is constant
+    w.r.t. the heights (bin index fixed, t from x only), so
+    pdfbar_k = ybar*(alpha*sel_k + pre_k/n) + pbar*sel_k, then the
+    mean-n normalization VJP (pdf_k = n q_k / Q):
+    qbar_k = (n/Q)(pdfbar_k' ...) collapses to
+    zqbar_k = (pdfbar_k - sum_m pdfbar_m pdf_m / n) * n * dq_k / Q.
+    dy/dx = pdf_b (the CDF property)."""
+    n_bins = q["n_bins"]
+    pdf, sel, pre = q["pdf"], q["sel"], q["pre"]
+    alpha = q["alpha"]
+
+    pdfbar = [ybar * (alpha * sel[k] + pre[k] / n_bins) + pbar * sel[k]
+              for k in range(n_bins)]
+    s = pdfbar[0] * pdf[0]
+    for k in range(1, n_bins):
+        s = s + pdfbar[k] * pdf[k]
+    s = s / n_bins
+    zqbar = [(pdfbar[k] - s) * n_bins * q["dq"][k] * q["inv_Q"]
+             for k in range(n_bins)]
+    xbar = ybar * q["pdf_b"]
+    return zqbar, xbar
+
+
+def _affine_quants(z_s, z_t, x):
+    """Forward quantities of one affine dim (reference 2/pi quirk is
+    applied once per cell by the caller)."""
+    import math as _math
+
+    s0 = jnp.exp(z_s)
+    s1 = jnp.maximum(z_t, 0.0)
+    u = x * (20.0 * s0) + s1
+    inv1u2 = 1.0 / (u * u + 1.0)
+    # kernel-exact atan (pwquad_sampler._atan_pos; u >= 0 always)
+    from nf_tpu.ops.pwquad_sampler import _atan_pos
+    y = _atan_pos(u) * jnp.float32(2.0 / _math.pi)
+    p = (20.0 * s0) * inv1u2       # per-dim factor (sans the 2/pi)
+    return dict(s0=s0, z_t=z_t, u=u, inv1u2=inv1u2, x=x, y=y, p=p)
+
+
+def _affine_dim_bwd(q, ybar, pbar):
+    """VJP of one affine dim: returns (zsbar, ztbar, xbar).
+
+    y = atan(u)*2/pi, p = 20 s0/(1+u^2), u = 20 x s0 + relu(z_t);
+    dy/du uses the TRUE atan derivative 1/(1+u^2) (the kernel's forward
+    polynomial is a 1e-7-accurate approximation of atan, so its exact
+    local derivative and atan's differ below f32 noise)."""
+    import math as _math
+
+    s0, u, inv1u2 = q["s0"], q["u"], q["inv1u2"]
+    ubar = ybar * jnp.float32(2.0 / _math.pi) * inv1u2 \
+        + pbar * (20.0 * s0) * (-2.0 * u) * inv1u2 * inv1u2
+    zsbar = ubar * 20.0 * q["x"] * s0 + pbar * q["p"]
+    ztbar = ubar * (q["z_t"] > 0.0).astype(jnp.float32)
+    xbar = ubar * 20.0 * s0
+    return zsbar, ztbar, xbar
+
+
 def _mlp_fwd_saved(xs_pass, wrefs, sizes):
     """Unrolled scalar-broadcast MLP keeping every layer's activations."""
     h = list(xs_pass)
@@ -304,9 +427,10 @@ def _plan(flow, meta):
     wstart = 0
     grow = 0
     for cfg, sizes in zip(flow.cells, meta):
-        if cfg.kind != "pwquad":
-            raise ValueError("train kernel v1 supports pwquad cells only")
-        cells.append((cfg.pass_through, cfg.flow_size - cfg.pass_through,
+        if cfg.kind not in ("pwquad", "pwlin", "affine"):
+            raise ValueError(f"train kernel: unsupported cell {cfg.kind!r}")
+        cells.append((cfg.kind, cfg.pass_through,
+                      cfg.flow_size - cfg.pass_through,
                       cfg.n_bins, sizes, wstart, cfg.activation, grow))
         wstart += 2 * len(sizes)
         for fi, fo, _ in sizes:
@@ -377,20 +501,30 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
         jac = jnp.ones((sub, LANE), jnp.float32)
         for op in ops:
             if op[0] == "cell":
-                pt, t, n_bins, sizes, start, act, _ = cells[op[1]]
+                kind, pt, t, n_bins, sizes, start, act, _ = cells[op[1]]
                 for d in range(n_flow):
                     stage_out[op[1], d] = xs[d]
                 z, _ = _mlp_fwd_saved(
                     xs[:pt], wrefs[start:start + 2 * len(sizes)], sizes)
-                width = 2 * n_bins + 1
                 new_tail = []
                 for ti in range(t):
-                    q = _pwquad_quants(
-                        z[ti * width: ti * width + n_bins + 1],
-                        z[ti * width + n_bins + 1: (ti + 1) * width],
-                        xs[pt + ti], act)
+                    if kind == "pwquad":
+                        width = 2 * n_bins + 1
+                        q = _pwquad_quants(
+                            z[ti * width: ti * width + n_bins + 1],
+                            z[ti * width + n_bins + 1: (ti + 1) * width],
+                            xs[pt + ti], act)
+                    elif kind == "pwlin":
+                        q = _pwlin_quants(
+                            z[ti * n_bins: (ti + 1) * n_bins],
+                            xs[pt + ti], act)
+                    else:
+                        q = _affine_quants(z[ti], z[t + ti], xs[pt + ti])
                     new_tail.append(q["y"])
                     jac = jac * q["p"]
+                if kind == "affine":
+                    # single 2/pi per cell (reference coupling_cells.py:68)
+                    jac = jac * jnp.float32(2.0 / np.pi)
                 xs = xs[:pt] + new_tail
             else:
                 xs = _apply_perm_fwd(xs, op, n_flow)
@@ -415,26 +549,45 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
             if op[0] != "cell":
                 xbar = _apply_perm_bwd(xbar, op, n_flow)
                 continue
-            pt, t, n_bins, sizes, start, act, grow = cells[op[1]]
+            kind, pt, t, n_bins, sizes, start, act, grow = cells[op[1]]
             xs_in = [stage_ref[op[1], d] for d in range(n_flow)]
             z, h_stack = _mlp_fwd_saved(
                 xs_in[:pt], wrefs[start:start + 2 * len(sizes)], sizes)
-            width = 2 * n_bins + 1
-            zbar = [None] * (t * width)
+            width = (2 * n_bins + 1) if kind == "pwquad" else \
+                (n_bins if kind == "pwlin" else 2)
+            zbar = [None] * (t * width) if kind != "affine" \
+                else [None] * (2 * t)
             new_tail_bar = []
             for ti in range(t):
-                q = _pwquad_quants(
-                    z[ti * width: ti * width + n_bins + 1],
-                    z[ti * width + n_bins + 1: (ti + 1) * width],
-                    xs_in[pt + ti], act)
                 # dL/dp for THIS dim: jbar times the product of every
                 # other pdf factor in the whole flow = jbar * jac / p
-                pbar = jbar * jac / q["p"]
-                zvbar, zwbar, xb = _pwquad_dim_bwd(q, xbar[pt + ti], pbar)
-                for k in range(n_bins + 1):
-                    zbar[ti * width + k] = zvbar[k]
-                for k in range(n_bins):
-                    zbar[ti * width + n_bins + 1 + k] = zwbar[k]
+                if kind == "pwquad":
+                    q = _pwquad_quants(
+                        z[ti * width: ti * width + n_bins + 1],
+                        z[ti * width + n_bins + 1: (ti + 1) * width],
+                        xs_in[pt + ti], act)
+                    pbar = jbar * jac / q["p"]
+                    zvbar, zwbar, xb = _pwquad_dim_bwd(q, xbar[pt + ti],
+                                                       pbar)
+                    for k in range(n_bins + 1):
+                        zbar[ti * width + k] = zvbar[k]
+                    for k in range(n_bins):
+                        zbar[ti * width + n_bins + 1 + k] = zwbar[k]
+                elif kind == "pwlin":
+                    q = _pwlin_quants(z[ti * n_bins: (ti + 1) * n_bins],
+                                      xs_in[pt + ti], act)
+                    pbar = jbar * jac / q["p"]
+                    zqbar, xb = _pwlin_dim_bwd(q, xbar[pt + ti], pbar)
+                    for k in range(n_bins):
+                        zbar[ti * n_bins + k] = zqbar[k]
+                else:  # affine: jac carries the per-cell 2/pi, and
+                    # jac / p_d keeps it — exactly the other-factors product
+                    q = _affine_quants(z[ti], z[t + ti], xs_in[pt + ti])
+                    pbar = jbar * jac / q["p"]
+                    zsbar, ztbar, xb = _affine_dim_bwd(q, xbar[pt + ti],
+                                                       pbar)
+                    zbar[ti] = zsbar
+                    zbar[t + ti] = ztbar
                 new_tail_bar.append(xb)
 
             # MLP backward; dW/db accumulate as lane-vectors (sublane-
@@ -562,7 +715,7 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
         g_flat_rows = jnp.sum(grad_rows, axis=1)  # lane reduction on host
         grads = []
         row = 0
-        for _, _, _, sizes, _, _, _ in cells:
+        for _, _, _, _, sizes, _, _, _ in cells:
             for fi, fo, _ in sizes:
                 grads.append(g_flat_rows[row: row + fi * fo]
                              .reshape(fi, fo))

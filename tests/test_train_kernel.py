@@ -55,6 +55,10 @@ CONFIGS = [
     ("rank_sp", lambda k: factory.build_pwquad_flow(
         k, 3, 2, 3, (4,), jnp.float32,
         final_rank=2, activation="squareplus")),
+    ("pwlin", lambda k: factory.build_pwlin_flow(
+        k, 3, 1, 2, 4, (5,), 1, jnp.float32)),
+    ("affine", lambda k: factory.build_affine_flow(
+        k, 3, 2, 2, (5,), 1, jnp.float32)),
 ]
 
 
