@@ -555,8 +555,7 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
                 xs_in[:pt], wrefs[start:start + 2 * len(sizes)], sizes)
             width = (2 * n_bins + 1) if kind == "pwquad" else \
                 (n_bins if kind == "pwlin" else 2)
-            zbar = [None] * (t * width) if kind != "affine" \
-                else [None] * (2 * t)
+            zbar = [None] * (t * width)
             new_tail_bar = []
             for ti in range(t):
                 # dL/dp for THIS dim: jbar times the product of every
@@ -594,7 +593,6 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
             # reduced per tile) into grad_out rows — the host reduces over
             # lanes at the end.
             r = zbar
-            row = grow
             # rows are laid out layer-major in FORWARD order; walk layers
             # backward but compute each layer's row base statically
             layer_row = []
