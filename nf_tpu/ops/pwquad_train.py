@@ -88,6 +88,34 @@ def fold_cell_jnp(params, state, eps=1e-5):
     return layers
 
 
+def fold_cell_affines(params, state, eps=1e-5):
+    """Per-hidden-layer output-BN affine ``(s_o, t_o)`` of the fold.
+
+    The stats byproduct (build_train_kernels ``with_stats``) accumulates
+    sums of the FOLDED pre-relu activations ``y = s_o * h + t_o`` where
+    ``h`` is the torch BN layer's true input; these affines invert that
+    relation (:func:`unfold_layer_stats`)."""
+    affs = []
+    for i in range(len(params["linears"])):
+        p, s = params["bns"][i], state["bns"][i]
+        scale = np.asarray(p["scale"]) / np.sqrt(np.asarray(s["var"]) + eps)
+        shift = np.asarray(p["bias"]) - np.asarray(s["mean"]) * scale
+        affs.append((scale, shift))
+    return affs
+
+
+def unfold_layer_stats(sums, sumsqs, count, s_o, t_o):
+    """Kernel-accumulated (sum y, sum y^2) of ``y = s_o*h + t_o`` over
+    ``count`` samples -> (mean_h, biased var_h) of the BN layer's input
+    ``h`` — the quantities the torch momentum EMA consumes."""
+    mean_y = sums / count
+    ey2 = sumsqs / count
+    mean_h = (mean_y - t_o) / s_o
+    var_h = (ey2 - 2.0 * t_o * mean_y + t_o * t_o) / (s_o * s_o) \
+        - mean_h * mean_h
+    return mean_h, var_h
+
+
 def fold_flow_jnp(flow, params, state):
     """All cells -> (flat list [W0, b0, W1, b1, ...] of f32 jnp arrays,
     static per-cell metadata ((fan_in, fan_out, relu), ...))."""
@@ -393,9 +421,15 @@ def _affine_dim_bwd(q, ybar, pbar):
 
 
 def _mlp_fwd_saved(xs_pass, wrefs, sizes):
-    """Unrolled scalar-broadcast MLP keeping every layer's activations."""
+    """Unrolled scalar-broadcast MLP keeping every layer's activations.
+
+    Returns ``(z, h_stack, pres)``: the output columns, every layer's
+    INPUT activations (for the backward), and each ReLU layer's PRE-relu
+    columns (the folded image of the next BN layer's input — what the
+    stats byproduct accumulates)."""
     h = list(xs_pass)
     h_stack = [h]
+    pres = []
     ref_idx = 0
     for fan_in, fan_out, relu in sizes:
         w_ref = wrefs[ref_idx]
@@ -408,10 +442,11 @@ def _mlp_fwd_saved(xs_pass, wrefs, sizes):
                 acc = acc + h[i] * w_ref[i, o]
             out.append(acc)
         if relu:
+            pres.append(out)
             out = [jnp.maximum(zv, 0.0) for zv in out]
         h = out
         h_stack.append(h)
-    return h, h_stack
+    return h, h_stack, pres
 
 
 # ---------------------------------------------------------------------------
@@ -473,11 +508,13 @@ def _apply_perm_bwd(xbar, op, n_flow):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
+def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB,
+                        with_stats=False):
     """Compile the fused (fwd, bwd) training passes.
 
     fwd(flat_folded, latents [n, n_flow]) ->
         (x [n, n_flow], jac [n], stage [n_cells, n_flow, n_pad])
+        (+ stats [n_stat_rows] when ``with_stats``)
     bwd(flat_folded, stage, jac, jbar [n], xbar0 [n, n_flow]) ->
         (grads list matching flat_folded, wbar [n, n_flow])
 
@@ -485,6 +522,17 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
     the backward recomputes everything else per tile in registers).
     ``xbar0`` is the cotangent of the output x (zero under the reference's
     stop-gradient loss; nonzero supports pathwise training).
+
+    ``with_stats``: the forward additionally accumulates, per hidden
+    (BN-carrying) conditioner layer and output unit, the batch sums
+    ``(sum y_pre, sum y_pre^2)`` of the PRE-relu folded activations over
+    the valid (non-padding) samples — exact batch statistics of each BN
+    layer's input up to the known fold affine (invert with
+    :func:`fold_cell_affines` / :func:`unfold_layer_stats`), at ~zero
+    marginal cost.  This is what lets the stale-stats trainer refresh its
+    running statistics without an extra XLA forward (docs/TRAIN_KERNEL.md
+    "stats update").  Row layout: cell-major, then layer-major, then
+    output unit, 2 rows (sum, sumsq) each.
     """
     n_flow = flow.n_flow
     cells, n_weight_arrays, n_grad_rows = _plan(flow, meta)
@@ -493,10 +541,40 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
     sub = tile_sub
     tile = sub * LANE
 
+    # stats row base per cell (2 rows per pre-relu output unit)
+    stat_row = []
+    n_stat_rows = 0
+    for _, _, _, _, sizes, _, _, _ in cells:
+        stat_row.append(n_stat_rows)
+        for fi, fo, relu in sizes:
+            if relu:
+                n_stat_rows += 2 * fo
+
     # ---------------- forward ----------------
-    def fwd_kernel(lat_ref, *refs):
-        wrefs = refs[:n_weight_arrays]
-        x_out, jac_out, stage_out = refs[-3], refs[-2], refs[-1]
+    def fwd_kernel(*all_refs):
+        if with_stats:
+            lat_ref, nval_ref = all_refs[0], all_refs[1]
+            refs = all_refs[2:]
+            x_out, jac_out, stage_out, stats_out = \
+                refs[-4], refs[-3], refs[-2], refs[-1]
+            wrefs = refs[:n_weight_arrays]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                stats_out[...] = jnp.zeros_like(stats_out)
+
+            base = pl.program_id(0) * tile
+            pos = base + jax.lax.broadcasted_iota(
+                jnp.int32, (sub, LANE), 0) * LANE \
+                + jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+            valid = (pos < nval_ref[0]).astype(jnp.float32)
+        else:
+            lat_ref = all_refs[0]
+            refs = all_refs[1:]
+            x_out, jac_out, stage_out = refs[-3], refs[-2], refs[-1]
+            wrefs = refs[:n_weight_arrays]
+            stats_out = None
+            valid = None
         xs = [lat_ref[d] for d in range(n_flow)]
         jac = jnp.ones((sub, LANE), jnp.float32)
         for op in ops:
@@ -504,8 +582,21 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
                 kind, pt, t, n_bins, sizes, start, act, _ = cells[op[1]]
                 for d in range(n_flow):
                     stage_out[op[1], d] = xs[d]
-                z, _ = _mlp_fwd_saved(
+                z, _, pres = _mlp_fwd_saved(
                     xs[:pt], wrefs[start:start + 2 * len(sizes)], sizes)
+                if with_stats:
+                    # accumulate (sum, sum^2) of every pre-relu column —
+                    # the folded image of each hidden BN layer's input —
+                    # masked to valid (non-padding) sample positions
+                    srow = stat_row[op[1]]
+                    for layer_cols in pres:
+                        for col in layer_cols:
+                            cm = col * valid
+                            stats_out[srow] = stats_out[srow] + jnp.sum(
+                                cm, axis=0)
+                            stats_out[srow + 1] = stats_out[srow + 1] \
+                                + jnp.sum(cm * col, axis=0)
+                            srow += 2
                 new_tail = []
                 for ti in range(t):
                     if kind == "pwquad":
@@ -551,7 +642,7 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
                 continue
             kind, pt, t, n_bins, sizes, start, act, grow = cells[op[1]]
             xs_in = [stage_ref[op[1], d] for d in range(n_flow)]
-            z, h_stack = _mlp_fwd_saved(
+            z, h_stack, _ = _mlp_fwd_saved(
                 xs_in[:pt], wrefs[start:start + 2 * len(sizes)], sizes)
             width = (2 * n_bins + 1) if kind == "pwquad" else \
                 (n_bins if kind == "pwlin" else 2)
@@ -642,31 +733,47 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
                       constant_values=0.5)
         lat_t = lat.T.reshape(n_flow, n_tiles * sub, LANE)
         w_specs, w_ops = _weight_specs_operands(flat)
-        x_t, jac_t, stage = pl.pallas_call(
+        in_specs = [pl.BlockSpec((n_flow, sub, LANE), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)]
+        operands = [lat_t]
+        if with_stats:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            operands.append(jnp.asarray([n], jnp.int32))
+        out_specs = [
+            pl.BlockSpec((n_flow, sub, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cells, n_flow, sub, LANE),
+                         lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_flow, n_tiles * sub, LANE),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles * sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, n_flow, n_tiles * sub, LANE),
+                                 jnp.float32),
+        ]
+        if with_stats:
+            out_specs.append(pl.BlockSpec((max(n_stat_rows, 1), LANE),
+                                          lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (max(n_stat_rows, 1), LANE), jnp.float32))
+        outs = pl.pallas_call(
             fwd_kernel,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec((n_flow, sub, LANE), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)] + w_specs,
-            out_specs=(
-                pl.BlockSpec((n_flow, sub, LANE), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, sub, LANE), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_cells, n_flow, sub, LANE),
-                             lambda i: (0, 0, i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((n_flow, n_tiles * sub, LANE),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((1, n_tiles * sub, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((n_cells, n_flow, n_tiles * sub, LANE),
-                                     jnp.float32),
-            ),
+            in_specs=in_specs + w_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             interpret=interpret,
-        )(lat_t, *w_ops)
+        )(*operands, *w_ops)
+        x_t, jac_t, stage = outs[0], outs[1], outs[2]
         x = x_t.reshape(n_flow, n_pad).T[:n]
         jac = jac_t.reshape(n_pad)[:n]
+        if with_stats:
+            return x, jac, stage, jnp.sum(outs[3], axis=1)[:n_stat_rows]
         return x, jac, stage
 
     def bwd(flat, stage, jac, jbar, xbar0):

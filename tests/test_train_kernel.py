@@ -209,3 +209,57 @@ def test_manager_stale_kernel_forced():
         pretty_progressbar=False, bn_stats="stale",
         _force_train_kernel=True, epochs_per_sync=1)
     assert np.isfinite(float(nf.best_loss))
+
+
+def test_fwd_stats_byproduct():
+    """with_stats=True: the forward kernel's accumulated (sum, sum^2) per
+    pre-relu column equals a direct jnp computation over the SAME valid
+    samples (n deliberately not a tile multiple, so the padding mask is
+    load-bearing), and unfold_layer_stats inverts the fold affine."""
+    flow, params, state, flat, meta, _ = _setup(CONFIGS[0][1])
+    n = 300  # not a multiple of sub*128
+    w = jax.random.uniform(jax.random.PRNGKey(9), (n, flow.n_flow),
+                           dtype=jnp.float32)
+    fwd_k, _ = ptk.build_train_kernels(flow, meta, interpret=True,
+                                       with_stats=True)
+    x_k, jac_k, stage, stats = fwd_k(flat, w)
+
+    # direct recomputation of every pre-relu column from the STAGED cell
+    # inputs (exact: the stage IS each cell's true input)
+    starts = []
+    li = 0
+    for sizes in meta:
+        starts.append(li)
+        li += 2 * len(sizes)
+    expect = []
+    st = np.asarray(stage)
+    for ci, cfg in enumerate(flow.cells):
+        pt = cfg.pass_through
+        xa = st[ci, :, :].reshape(flow.n_flow, -1).T[:n][:, :pt]
+        h = xa.astype(np.float64)
+        base = starts[ci]
+        for j, (fi, fo, relu) in enumerate(meta[ci]):
+            pre = h @ np.asarray(flat[base + 2 * j], np.float64) \
+                + np.asarray(flat[base + 2 * j + 1], np.float64)
+            if relu:
+                for o in range(fo):
+                    expect.append((pre[:, o].sum(), (pre[:, o] ** 2).sum()))
+                h = np.maximum(pre, 0.0)
+            else:
+                h = pre
+    got = np.asarray(stats, np.float64)
+    assert got.shape[0] == 2 * len(expect)
+    for k, (es, esq) in enumerate(expect):
+        np.testing.assert_allclose(got[2 * k], es, rtol=3e-5)
+        np.testing.assert_allclose(got[2 * k + 1], esq, rtol=3e-5)
+
+    # affine inversion round-trip
+    affs = ptk.fold_cell_affines(params[0], state[0])
+    s_o, t_o = affs[0]
+    rng = np.random.default_rng(0)
+    hcol = rng.normal(size=500)
+    y = s_o[0] * hcol + t_o[0]
+    m, v = ptk.unfold_layer_stats(y.sum(), (y ** 2).sum(), 500.0,
+                                  s_o[0], t_o[0])
+    np.testing.assert_allclose(m, hcol.mean(), rtol=1e-6)
+    np.testing.assert_allclose(v, hcol.var(), rtol=1e-6)
