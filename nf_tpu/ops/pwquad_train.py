@@ -98,8 +98,8 @@ def fold_cell_affines(params, state, eps=1e-5):
     affs = []
     for i in range(len(params["linears"])):
         p, s = params["bns"][i], state["bns"][i]
-        scale = np.asarray(p["scale"]) / np.sqrt(np.asarray(s["var"]) + eps)
-        shift = np.asarray(p["bias"]) - np.asarray(s["mean"]) * scale
+        scale = p["scale"] / jnp.sqrt(s["var"] + eps)
+        shift = p["bias"] - s["mean"] * scale
         affs.append((scale, shift))
     return affs
 
@@ -114,6 +114,51 @@ def unfold_layer_stats(sums, sumsqs, count, s_o, t_o):
     var_h = (ey2 - 2.0 * t_o * mean_y + t_o * t_o) / (s_o * s_o) \
         - mean_h * mean_h
     return mean_h, var_h
+
+
+def stats_to_bn_state(flow, meta, params, state, stats, count,
+                      momentum=0.1):
+    """Torch-momentum EMA update of every BN layer's running statistics
+    from the kernel stats byproduct (build_train_kernels ``with_stats``).
+
+    Row layout (matches the kernel): per cell, 2 rows (sum, sumsq) per xA
+    column — the input BN's raw input — then 2 per pre-relu hidden unit,
+    inverted through the fold affine.  ``count`` is the number of valid
+    samples the kernel accumulated.  Returns a new bn-state pytree with
+    the reference's update (momentum 0.1, UNBIASED batch variance in the
+    running var — bijectors.batchnorm semantics)."""
+    count = jnp.asarray(count, jnp.float32)
+    unb = count / jnp.maximum(count - 1.0, 1.0)
+
+    def ema(old, mean, var):
+        return {"mean": (1.0 - momentum) * old["mean"] + momentum * mean,
+                "var": (1.0 - momentum) * old["var"]
+                       + momentum * var * unb}
+
+    new_state = []
+    row = 0
+    for cfg, sizes, p, s in zip(flow.cells, meta, params, state):
+        pt = cfg.pass_through
+        seg = stats[row: row + 2 * pt]
+        m_in = seg[0::2] / count
+        v_in = seg[1::2] / count - m_in * m_in
+        row += 2 * pt
+        ns = {"bn_in": ema(s["bn_in"], m_in, v_in), "bns": []}
+        affs = fold_cell_affines(p, s)
+        li = 0
+        for fi, fo, relu in sizes:
+            if not relu:
+                continue
+            s_o, t_o = affs[li]
+            seg = stats[row: row + 2 * fo]
+            mean_h, var_h = unfold_layer_stats(seg[0::2], seg[1::2],
+                                               count, s_o, t_o)
+            row += 2 * fo
+            ns["bns"].append(ema(s["bns"][li], mean_h, var_h))
+            li += 1
+        new_state.append(ns)
+    # mirror the input container (the trainer carries bn state as a tuple)
+    return tuple(new_state) if isinstance(state, tuple) else new_state
 
 
 def fold_flow_jnp(flow, params, state):
@@ -541,11 +586,13 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB,
     sub = tile_sub
     tile = sub * LANE
 
-    # stats row base per cell (2 rows per pre-relu output unit)
+    # stats row base per cell: 2 rows (sum, sumsq) per xA column (the
+    # input-BN's raw input) then 2 per pre-relu output unit
     stat_row = []
     n_stat_rows = 0
-    for _, _, _, _, sizes, _, _, _ in cells:
+    for _, pt, _, _, sizes, _, _, _ in cells:
         stat_row.append(n_stat_rows)
+        n_stat_rows += 2 * pt
         for fi, fo, relu in sizes:
             if relu:
                 n_stat_rows += 2 * fo
@@ -585,18 +632,18 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB,
                 z, _, pres = _mlp_fwd_saved(
                     xs[:pt], wrefs[start:start + 2 * len(sizes)], sizes)
                 if with_stats:
-                    # accumulate (sum, sum^2) of every pre-relu column —
-                    # the folded image of each hidden BN layer's input —
-                    # masked to valid (non-padding) sample positions
+                    # accumulate (sum, sum^2) of each xA column (the input
+                    # BN's raw input) and every pre-relu column (the folded
+                    # image of each hidden BN layer's input), masked to
+                    # valid (non-padding) sample positions
                     srow = stat_row[op[1]]
-                    for layer_cols in pres:
-                        for col in layer_cols:
-                            cm = col * valid
-                            stats_out[srow] = stats_out[srow] + jnp.sum(
-                                cm, axis=0)
-                            stats_out[srow + 1] = stats_out[srow + 1] \
-                                + jnp.sum(cm * col, axis=0)
-                            srow += 2
+                    for col in list(xs[:pt]) + [c for lc in pres for c in lc]:
+                        cm = col * valid
+                        stats_out[srow] = stats_out[srow] + jnp.sum(
+                            cm, axis=0)
+                        stats_out[srow + 1] = stats_out[srow + 1] \
+                            + jnp.sum(cm * col, axis=0)
+                        srow += 2
                 new_tail = []
                 for ti in range(t):
                     if kind == "pwquad":
@@ -833,13 +880,38 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB,
     return fwd, bwd
 
 
-def make_fused_train_fn(flow, meta, interpret=False, tile_sub=TRAIN_SUB):
+def make_fused_train_fn(flow, meta, interpret=False, tile_sub=TRAIN_SUB,
+                        with_stats=False):
     """``f(flat_folded, latents) -> (x, jac)`` with a custom VJP backed by
     the fused kernels.  Compose with :func:`fold_flow_jnp` (and jax.vjp
     through it) to train raw parameters; gradient semantics = frozen BN
-    statistics (docs/TRAIN_KERNEL.md)."""
+    statistics (docs/TRAIN_KERNEL.md).
+
+    ``with_stats=True`` returns ``(x, jac, stats)`` — the BN batch-sum
+    byproduct (non-differentiable; its cotangent is ignored), consumed by
+    :func:`stats_to_bn_state`."""
     fwd_k, bwd_k = build_train_kernels(flow, meta, interpret=interpret,
-                                       tile_sub=tile_sub)
+                                       tile_sub=tile_sub,
+                                       with_stats=with_stats)
+
+    if with_stats:
+        @jax.custom_vjp
+        def f(flat, latents):
+            x, jac, _, stats = fwd_k(flat, latents)
+            return x, jac, stats
+
+        def f_fwd(flat, latents):
+            x, jac, stage, stats = fwd_k(flat, latents)
+            return (x, jac, stats), (tuple(flat), stage, jac)
+
+        def f_bwd(res, cot):
+            flat, stage, jac = res
+            xbar, jbar, _statsbar = cot  # stats: non-diff byproduct
+            grads, wbar = bwd_k(list(flat), stage, jac, jbar, xbar)
+            return grads, wbar
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
 
     @jax.custom_vjp
     def f(flat, latents):

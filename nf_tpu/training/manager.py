@@ -450,9 +450,14 @@ class BasicManager(ModelAPI):
             if on_tpu or _force_train_kernel:
                 _fused = _ptk.make_fused_train_fn(flow, _tk_meta,
                                                   interpret=not on_tpu)
+                # stats refresh via the kernel's own batch-sum byproduct
+                # (fwd-only pass; docs/TRAIN_KERNEL.md "stats update")
+                _fused_stats = _ptk.make_fused_train_fn(
+                    flow, _tk_meta, interpret=not on_tpu, with_stats=True)
             else:
                 # CPU fallback: identical frozen-stats math, plain XLA
                 _fused = None
+                _fused_stats = None
             # stats refresh uses a bounded batch: statistics need modest
             # precision and the refresh is an XLA train-mode forward (the
             # cost the kernel exists to avoid)
@@ -540,6 +545,14 @@ class BasicManager(ModelAPI):
                         p2, b2, kr = args
                         ws = self._shard_batch(
                             _uniform(kr, (stats_batch, n_flow), dtype))
+                        if _fused_stats is not None and mesh is None:
+                            flat2, _ = _ptk.fold_flow_jnp(flow, p2, b2)
+                            _, _, st2 = _fused_stats(
+                                flat2, ws.astype(jnp.float32))
+                            nb = _ptk.stats_to_bn_state(
+                                flow, _tk_meta, p2, b2, st2, stats_batch)
+                            return jax.tree.map(
+                                lambda nw, od: nw.astype(od.dtype), nb, b2)
                         _, _, nb = train_fwd(flow, p2, b2, ws, True)
                         return nb
                     bn_state = jax.lax.cond(

@@ -237,6 +237,8 @@ def test_fwd_stats_byproduct():
         pt = cfg.pass_through
         xa = st[ci, :, :].reshape(flow.n_flow, -1).T[:n][:, :pt]
         h = xa.astype(np.float64)
+        for c in range(pt):  # xA columns: the input BN's raw input
+            expect.append((h[:, c].sum(), (h[:, c] ** 2).sum()))
         base = starts[ci]
         for j, (fi, fo, relu) in enumerate(meta[ci]):
             pre = h @ np.asarray(flat[base + 2 * j], np.float64) \
@@ -263,3 +265,78 @@ def test_fwd_stats_byproduct():
                                   s_o[0], t_o[0])
     np.testing.assert_allclose(m, hcol.mean(), rtol=1e-6)
     np.testing.assert_allclose(v, hcol.var(), rtol=1e-6)
+
+
+def test_stats_to_bn_state_matches_direct():
+    """stats_to_bn_state (kernel sums -> torch-momentum EMA) equals a
+    direct unfolded computation: eval-BN with the stale stats, raw linear,
+    batch mean/var, EMA with unbiased variance."""
+    flow, params, state, flat, meta, _ = _setup(CONFIGS[0][1])
+    n = 300
+    w = jax.random.uniform(jax.random.PRNGKey(11), (n, flow.n_flow),
+                           dtype=jnp.float32)
+    fwd_k, _ = ptk.build_train_kernels(flow, meta, interpret=True,
+                                       with_stats=True)
+    _, _, stage, stats = fwd_k(flat, w)
+    new_bn = ptk.stats_to_bn_state(flow, meta, params, state, stats, n)
+
+    EPS, MOM = 1e-5, 0.1
+    st = np.asarray(stage, np.float64)
+    for ci, cfg in enumerate(flow.cells):
+        pt = cfg.pass_through
+        xa = st[ci].reshape(flow.n_flow, -1).T[:n][:, :pt]
+        # input BN stats
+        m, v = xa.mean(0), xa.var(0)
+        exp_m = 0.9 * np.asarray(state[ci]["bn_in"]["mean"]) + MOM * m
+        exp_v = 0.9 * np.asarray(state[ci]["bn_in"]["var"]) \
+            + MOM * v * n / (n - 1)
+        np.testing.assert_allclose(np.asarray(new_bn[ci]["bn_in"]["mean"]),
+                                   exp_m, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(new_bn[ci]["bn_in"]["var"]),
+                                   exp_v, rtol=2e-4)
+        # hidden BN layers: eval-BN with stale stats, raw linear
+        h = (xa - np.asarray(state[ci]["bn_in"]["mean"])) \
+            / np.sqrt(np.asarray(state[ci]["bn_in"]["var"]) + EPS) \
+            * np.asarray(params[ci]["bn_in"]["scale"]) \
+            + np.asarray(params[ci]["bn_in"]["bias"])
+        for li, lin in enumerate(params[ci]["linears"]):
+            pre = h @ np.asarray(lin["w"])
+            if "b" in lin:
+                pre = pre + np.asarray(lin["b"])
+            m, v = pre.mean(0), pre.var(0)
+            old = state[ci]["bns"][li]
+            exp_m = 0.9 * np.asarray(old["mean"]) + MOM * m
+            exp_v = 0.9 * np.asarray(old["var"]) + MOM * v * n / (n - 1)
+            got = new_bn[ci]["bns"][li]
+            np.testing.assert_allclose(np.asarray(got["mean"]), exp_m,
+                                       rtol=5e-4, atol=5e-6)
+            np.testing.assert_allclose(np.asarray(got["var"]), exp_v,
+                                       rtol=2e-3, atol=5e-6)
+            # continue the chain: BN eval with stale stats + relu
+            bnp, bns = params[ci]["bns"][li], state[ci]["bns"][li]
+            h = np.maximum(
+                (pre - np.asarray(bns["mean"]))
+                / np.sqrt(np.asarray(bns["var"]) + EPS)
+                * np.asarray(bnp["scale"]) + np.asarray(bnp["bias"]), 0.0)
+
+
+def test_manager_stale_kernel_stats_refresh():
+    """Kernel-forced stale training with stats_every=1: the running BN
+    statistics move via the kernel byproduct (no XLA refresh), and the
+    run completes."""
+    from nf_tpu.training.manager import PWQuadManager
+    from nf_tpu.training import optimizers
+
+    nf = PWQuadManager(n_flow=2, seed=0)
+    nf.create_model(2, 4, [3] * 3)
+    bn0 = jax.tree.map(lambda a: np.asarray(a).copy(), nf._bn_state)
+    nf._train_variance_forward_seq(
+        _camel, optimizers.adamax(2e-3, 1e-4), log=False,
+        batch_size=256, epochs=3, preburn_time=1, mini_batch_size=256,
+        pretty_progressbar=False, bn_stats="stale", stats_every=1,
+        _force_train_kernel=True, epochs_per_sync=1)
+    assert np.isfinite(float(nf.best_loss))
+    moved = any(not np.allclose(np.asarray(a), b)
+                for a, b in zip(jax.tree.leaves(nf._bn_state),
+                                jax.tree.leaves(bn0)))
+    assert moved  # the byproduct-driven EMA actually updated the stats
