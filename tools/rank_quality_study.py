@@ -1,0 +1,150 @@
+"""Trained-quality study of the low-rank final conditioner (STATUS r5 item).
+
+The r4 speed result is proven: ``final_rank=4`` lifts the flagship 10-D
+fused-sampler device rate 1.38e8 -> 2.17e8 samples/s (bench.py, exactness-
+gated).  What speed can't answer is the EXPRESSIVITY cost: a rank-r final
+layer constrains each coupling cell's bin-logit map to an r-dimensional
+subspace of the full (hidden x out) map, so trained quality is per-target.
+
+This tool trains the SAME target with final_rank in {None, 4, 2, 1} across
+seeds and reports median/IQR unweighting efficiency (w_mean/w_max, the
+reference's protocol — nisrep/utils/experiment_mg.py:66-76,101) and ESS
+fraction on fresh samples from the best model.
+
+Targets:
+  camel10  flagship-shaped: 10-D two-mode camel, PWQuad(8, 8, [16,16])
+           (the bench.py flagship architecture — the config whose kernel
+           rate the rank variant accelerates)
+  dy       Drell-Yan 2->2 tau-convolved ToyPDF, PWQuad(4, 16, [16]*2)
+           (the head-to-head physics config, tools/measure_nf_tpu.py)
+
+Run from /root/repo:  python - --target camel10 --seeds 3 < tools/rank_quality_study.py
+Writes /tmp/rank_quality_<target>.json and prints a markdown table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+if jax.default_backend() not in ("tpu",):
+    # pin local CPU (the ambient sitecustomize may prefer the remote TPU
+    # plugin programmatically; config update beats it — see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from nf_tpu import PWQuadManager, FlatInvertiblePhasespace  # noqa: E402
+from nf_tpu.phasespace import lorentz  # noqa: E402
+from nf_tpu.phasespace.pdf import ToyPDF  # noqa: E402
+from nf_tpu.training import optimizers  # noqa: E402
+
+
+def quality(NF, f, n=200_000, key=None):
+    x, jac = NF.sample(n, key=key or jax.random.PRNGKey(17))
+    wt = f(x) * jac
+    eff = float(jnp.mean(wt) / jnp.max(wt))
+    ess = float(jnp.mean(wt) ** 2 / jnp.mean(wt ** 2))
+    return eff, ess
+
+
+def make_camel10():
+    c1, c2, s2 = 0.25, 0.75, 0.1 ** 2
+
+    def camel10(x):
+        d1 = jnp.sum((x - c1) ** 2, axis=1)
+        d2 = jnp.sum((x - c2) ** 2, axis=1)
+        return jnp.exp(-d1 / s2) + jnp.exp(-d2 / s2)
+
+    return 10, camel10, dict(create=(8, 8, [16, 16]), batch=20000,
+                             epochs=300, preburn=30)
+
+
+def make_dy():
+    E_COLLIDER = 2000.0
+    MZ2, GZ = 91.188 ** 2, 2.4952
+    gen = FlatInvertiblePhasespace([0.0, 0.0], [0.0, 0.0], pdf=ToyPDF(),
+                                   pdf_active=True, tau=True)
+
+    def integrand(w):
+        momenta, wgt = gen.generateKinematics_batch(
+            E_COLLIDER, w, pT_mincut=10.0, rap_maxcut=2.4, pdgs=(2, -2))
+        shat = lorentz.square(momenta[:, 0, :] + momenta[:, 1, :])
+        return 1e4 / ((shat - MZ2) ** 2 + MZ2 * GZ ** 2) * wgt
+
+    return gen.nDimPhaseSpace() + 2, integrand, dict(
+        create=(4, 16, [16, 16]), batch=10000, epochs=300, preburn=20)
+
+
+TARGETS = {"camel10": make_camel10, "dy": make_dy}
+
+
+def run_one(n_flow, f, cfg, rank, seed):
+    NF = PWQuadManager(n_flow=n_flow, seed=seed)
+    c_cells, c_bins, c_nn = cfg["create"]
+    NF.create_model(c_cells, c_bins, c_nn, final_rank=rank)
+    t0 = time.time()
+    NF._train_variance_forward_seq(
+        f, optimizers.adamax(2e-3, 1e-4), log=False,
+        batch_size=cfg["batch"], epochs=cfg["epochs"],
+        pretty_progressbar=False, mini_batch_size=cfg["batch"],
+        integrate=False, preburn_time=cfg["preburn"],
+        select_best_by="ess")
+    dt = time.time() - t0
+    eff, ess = quality(NF, f)
+    return {"rank": rank, "seed": seed, "eff": eff, "ess": ess,
+            "train_seconds": dt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", default="camel10", choices=sorted(TARGETS))
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--ranks", default="none,4,2,1")
+    args = ap.parse_args()
+
+    ranks = [None if r == "none" else int(r)
+             for r in args.ranks.split(",")]
+    n_flow, f, cfg = TARGETS[args.target]()
+
+    rows = []
+    for rank in ranks:
+        for seed in range(args.seeds):
+            r = run_one(n_flow, f, cfg, rank, seed)
+            rows.append(r)
+            print(f"# rank={rank} seed={seed}: eff={r['eff']:.4f} "
+                  f"ess={r['ess']:.4f} ({r['train_seconds']:.0f}s)",
+                  flush=True)
+
+    out = {"target": args.target, "config": cfg["create"],
+           "batch": cfg["batch"], "epochs": cfg["epochs"],
+           "backend": jax.default_backend(), "rows": rows, "summary": {}}
+    print(f"\n| final_rank | median eff | eff range | median ESS |")
+    print(f"|---|---|---|---|")
+    for rank in ranks:
+        effs = sorted(r["eff"] for r in rows if r["rank"] == rank)
+        esss = sorted(r["ess"] for r in rows if r["rank"] == rank)
+        med_e, med_s = float(np.median(effs)), float(np.median(esss))
+        out["summary"][str(rank)] = {
+            "median_eff": med_e, "min_eff": effs[0], "max_eff": effs[-1],
+            "median_ess": med_s}
+        print(f"| {rank} | {med_e:.4f} | [{effs[0]:.4f}, {effs[-1]:.4f}] "
+              f"| {med_s:.4f} |")
+
+    path = f"/tmp/rank_quality_{args.target}.json"
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"\n# wrote {path}")
+
+
+if __name__ == "__main__":  # `python - < file` also sets __main__
+    main()
