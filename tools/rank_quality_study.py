@@ -58,15 +58,29 @@ def quality(NF, f, n=200_000, key=None):
 
 
 def make_camel10():
-    c1, c2, s2 = 0.25, 0.75, 0.1 ** 2
+    # width calibration matters in 10-D: at s=0.1 each mode carries ~3e-8
+    # of the unit-cube mass, so a 20k uniform batch has ~0 informative
+    # samples and EVERY variant trains to eff ~ 0 (verified) — a target-
+    # visibility failure, not an expressivity measurement.  s=0.2 puts
+    # the per-mode mass at ~3e-5 (uniform ESS ~ 0.2%, ~40 informative
+    # samples per 20k batch): hard enough to separate variants, visible
+    # enough to train from scratch.
+    c1, c2, s2 = 0.3, 0.7, 0.2 ** 2
 
     def camel10(x):
         d1 = jnp.sum((x - c1) ** 2, axis=1)
         d2 = jnp.sum((x - c2) ** 2, axis=1)
         return jnp.exp(-d1 / s2) + jnp.exp(-d2 / s2)
 
-    return 10, camel10, dict(create=(8, 8, [16, 16]), batch=20000,
-                             epochs=300, preburn=30)
+    # kl loss + ess selection: the variance loss barely moves off uniform
+    # here (trained ESS 0.36% vs uniform 0.2%, measured), while the
+    # reweighted-KL extension trains narrow multi-mode targets reliably
+    # (STATUS.md r3 item 12) — rank comparisons need a baseline that
+    # actually learns.
+    return 10, camel10, dict(create=(8, 8, [16, 16]), batch=1 << 16,
+                             epochs=300, preburn=30,
+                             train_kwargs=dict(loss_mode="kl",
+                                               kill_counter=50))
 
 
 def make_dy():
@@ -85,7 +99,25 @@ def make_dy():
         create=(4, 16, [16, 16]), batch=10000, epochs=300, preburn=20)
 
 
-TARGETS = {"camel10": make_camel10, "dy": make_dy}
+def make_dy_mapped():
+    """BW-mapped DY (tools/mapped_dy_demo.py): the analytic map removes the
+    resonance so the flow actually learns the smooth remainder (TPU record
+    29.5% ESS) — the discriminating target for rank expressivity, since the
+    raw-DY plateau (~1e-4 eff for every variant) masks any rank effect.
+    CPU-sized batch (65k vs the demo's 262k)."""
+    from nf_tpu.phasespace.mappings import remap_integrand, drell_yan_tau_map
+
+    n_flow, integrand, _ = make_dy()
+    mapped = remap_integrand(integrand, n_flow - 2,
+                             drell_yan_tau_map(91.188, 2.4952, 2000.0))
+    return n_flow, mapped, dict(create=(4, 32, [32, 32]), batch=1 << 15,
+                                epochs=200, preburn=30,
+                                train_kwargs=dict(loss_mode="kl",
+                                                  kill_counter=50))
+
+
+TARGETS = {"camel10": make_camel10, "dy": make_dy,
+           "dy_mapped": make_dy_mapped}
 
 
 def run_one(n_flow, f, cfg, rank, seed):
@@ -98,7 +130,7 @@ def run_one(n_flow, f, cfg, rank, seed):
         batch_size=cfg["batch"], epochs=cfg["epochs"],
         pretty_progressbar=False, mini_batch_size=cfg["batch"],
         integrate=False, preburn_time=cfg["preburn"],
-        select_best_by="ess")
+        select_best_by="ess", **cfg.get("train_kwargs", {}))
     dt = time.time() - t0
     eff, ess = quality(NF, f)
     return {"rank": rank, "seed": seed, "eff": eff, "ess": ess,
