@@ -15,8 +15,13 @@ MadGraph) to reproduce the reference workflow.
 
 A harder 2->4 double-resonance variant (reference BASELINE configs[3]) is
 sketched at the bottom; on that target this framework and the torch
-reference plateau identically (measured ESS ratio 0.3x both) — a limitation
-of the forward-variance training scheme itself, not the port.
+reference plateau identically (measured ESS ratio 0.3x both) when trained
+flow-alone — a limitation of the forward-variance training scheme itself,
+not the port.  The nf_tpu answer is the decay-tree channel machinery
+(phasespace/topology.py): Breit-Wigner-mapped channels lift the 2->4
+double-resonance to ~11% uniform / ~20% flow ESS (tools/run_2to4.py), and
+competing pairings combine via Kleiss-Pittau alphas
+(examples/zz_multichannel.py).
 
 Run:  python examples/collider_2to4.py
 """

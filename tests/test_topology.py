@@ -29,6 +29,7 @@ from nf_tpu.phasespace.topology import (
     ResonanceDecayPhasespace,
     UniformSMap,
     multichannel_integrand,
+    optimize_alphas,
 )
 
 E = 400.0
@@ -166,6 +167,52 @@ def test_multichannel_unbiased():
     assert abs(vals.mean() - I_an) < 5 * err
     # the mixture keeps a healthy ESS (channel 1 dominates usefully)
     assert vals.mean() ** 2 / (vals ** 2).mean() > 0.3
+
+
+def test_multichannel_beats_single_on_competing_pairings():
+    """Resonances in COMPETING lepton pairings: neither single decay-tree
+    channel can flatten both matrix-element terms, while the alpha-mixture
+    flattens each term where its channel dominates — the capability the
+    multi-channel machinery exists for (examples/zz_multichannel.py is the
+    user-facing version).  Also pins the Kleiss-Pittau iteration: on a
+    pairing-symmetric ME the optimized weights stay balanced and the
+    mixture variance does not grow."""
+    def me(m):
+        fin = m[:, 2:, :]
+        def bw(s):
+            return 1e4 / ((s - MZ2) ** 2 + GAM2)
+        s01 = lorentz.square(fin[:, 0] + fin[:, 1])
+        s23 = lorentz.square(fin[:, 2] + fin[:, 3])
+        s03 = lorentz.square(fin[:, 0] + fin[:, 3])
+        s12 = lorentz.square(fin[:, 1] + fin[:, 2])
+        return bw(s01) * bw(s23) + bw(s03) * bw(s12)
+
+    ch1 = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 1), (2, 3)),
+        mass_maps={(0, 1): BreitWignerSMap(MZ, GZ),
+                   (2, 3): BreitWignerSMap(MZ, GZ)})
+    ch2 = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 3), (1, 2)),
+        mass_maps={(0, 3): BreitWignerSMap(MZ, GZ),
+                   (1, 2): BreitWignerSMap(MZ, GZ)})
+    n_lat = 1 + ch1.nDimPhaseSpace()
+
+    def ess(channels, alphas, seed):
+        g = multichannel_integrand(me, channels, alphas, E)
+        w = jax.random.uniform(jax.random.PRNGKey(seed), (200_000, n_lat))
+        v = np.asarray(jax.jit(g)(w))
+        return v.mean() ** 2 / (v ** 2).mean()
+
+    e1 = ess([ch1], [1.0], 7)
+    e2 = ess([ch2], [1.0], 7)
+    e12 = ess([ch1, ch2], [0.5, 0.5], 7)
+    assert e12 > 3 * max(e1, e2), (e1, e2, e12)
+
+    al, hist = optimize_alphas(me, [ch1, ch2], [0.5, 0.5], E,
+                               jax.random.PRNGKey(1), n_iter=3,
+                               n_samples=1 << 15)
+    assert 0.3 < al[0] < 0.7  # symmetric ME -> balanced weights
+    assert hist[-1]["variance"] <= hist[0]["variance"] * 1.5
 
 
 def test_chain_mass_map_unbiased():
