@@ -365,6 +365,21 @@ def main():
             train_dev["train_samples_per_sec_device_batch1m_stale_kernel"] = sps
         except Exception as e:
             print(f"# stale train-kernel metric unavailable: {e}")
+        try:
+            # flagship 10-D trainer through the fused kernel (XLA batch-BN
+            # baseline was 5.2e6/s; docs/TRAIN_KERNEL.md predicts ~3-4e7/s)
+            flat10_f = lambda x: jnp.ones(x.shape[0], x.dtype)
+            NF_f = PWQuadManager(n_flow=10, seed=4)
+            NF_f.create_model(8, 8, [16, 16])
+            NF_f._train_variance_forward_seq(
+                flat10_f, optimizers.adamax(2e-3, 1e-4), log=False,
+                batch_size=1 << 20, epochs=6, pretty_progressbar=False,
+                mini_batch_size=1 << 18, integrate=False, preburn_time=0,
+                epochs_per_sync=6, bn_stats="stale")
+            sec_e, sps = NF_f.benchmark_train_step(reps=3)
+            train_dev["train_samples_per_sec_device_flagship_stale"] = sps
+        except Exception as e:
+            print(f"# flagship stale train-kernel metric unavailable: {e}")
 
     ps_sps = 0.0
     try:

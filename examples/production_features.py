@@ -89,6 +89,29 @@ def main():
     print("ensemble integral estimates:",
           np.round(np.asarray(res["integ_tot"]), 4), f"(exact {exact:.4f})")
 
+    # ---- r4: the fused-training-kernel trainer (stale-stats BN).  On TPU
+    # the whole train step (forward + hand-derived backward) runs in Pallas
+    # kernels (docs/TRAIN_KERNEL.md); off-TPU the identical frozen-stats
+    # math runs in XLA, so the flag is portable.
+    NF4 = PWQuadManager(n_flow=2, seed=5)
+    NF4.create_model(2, 4, [3] * 3)
+    NF4._train_variance_forward_seq(
+        camel, opt, log=False, batch_size=8000, epochs=60,
+        pretty_progressbar=False, mini_batch_size=8000, integrate=False,
+        preburn_time=10, bn_stats="stale")
+    sig_s, err_s = NF4.integrate(camel, 10, 100_000, seed=2)
+    print(f"stale-BN (fused-kernel) trainer: integral {sig_s:.6f} "
+          f"+/- {err_s:.1e}  (dev {abs(sig_s - exact):.1e})")
+
+    # ---- r4: low-rank final conditioners for the 10-D flagship shape —
+    # measured 1.57x fused-kernel rate at NO trained-quality cost for
+    # rank 4 (docs/PERFORMANCE.md rank study); stays exactly bijective
+    NF5 = PWQuadManager(n_flow=10, seed=6)
+    NF5.create_model(8, 8, [16, 16], final_rank=4)
+    _, jac10 = NF5.sample(1 << 13, key=jax.random.PRNGKey(9))
+    print(f"rank-4 flagship flow: E[jac] = {float(jac10.mean()):.4f} "
+          "(exactly-normalized sampler, untrained)")
+
 
 if __name__ == "__main__":
     main()
