@@ -116,14 +116,56 @@ def make_dy_mapped():
                                                   kill_counter=50))
 
 
+def make_zz2to4():
+    """The 2->4 double-resonance through the BW-mapped decay-tree channel
+    (tools/run_2to4.py item 1) at CPU scale — the 10-D flagship-shaped
+    physics target, with the flow identity-initialized on the mapped
+    channel's remainder."""
+    from functools import partial
+
+    from nf_tpu.phasespace.mappings import (remap_integrand,
+                                            shifted_power_unit_map)
+    from nf_tpu.phasespace.topology import (BreitWignerSMap,
+                                            ResonanceDecayPhasespace)
+
+    E_COLLIDER, MZ, GZ = 2000.0, 91.188, 2.4952
+    MZ2, GAM2 = MZ ** 2, (MZ * GZ) ** 2
+    topo = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 1), (2, 3)),
+        mass_maps={(0, 1): BreitWignerSMap(MZ, GZ),
+                   (2, 3): BreitWignerSMap(MZ, GZ)},
+        pdf=ToyPDF(), pdf_active=True, tau=True)
+    tau_th = (2 * MZ / E_COLLIDER) ** 2
+
+    def base(w):
+        momenta, wgt = topo.generateKinematics_batch(
+            E_COLLIDER, w, pT_mincut=20.0, delR_mincut=0.4, rap_maxcut=2.4,
+            pdgs=(2, -2))
+        fin = momenta[:, 2:, :]
+        s34 = lorentz.square(fin[:, 0] + fin[:, 1])
+        s56 = lorentz.square(fin[:, 2] + fin[:, 3])
+        bw34 = 1e4 / ((s34 - MZ2) ** 2 + GAM2)
+        bw56 = 1e4 / ((s56 - MZ2) ** 2 + GAM2)
+        return bw34 * bw56 * wgt
+
+    mapped = remap_integrand(
+        base, topo.nDimPhaseSpace(),
+        partial(shifted_power_unit_map, exponent=-3.0, shift=3 * tau_th))
+    return topo.nDimPhaseSpace() + 2, mapped, dict(
+        create=(4, 32, [32, 32]), batch=1 << 15, epochs=150, preburn=0,
+        create_kwargs=dict(identity_init=True),
+        train_kwargs=dict(loss_mode="kl", kill_counter=50))
+
+
 TARGETS = {"camel10": make_camel10, "dy": make_dy,
-           "dy_mapped": make_dy_mapped}
+           "dy_mapped": make_dy_mapped, "zz2to4": make_zz2to4}
 
 
 def run_one(n_flow, f, cfg, rank, seed):
     NF = PWQuadManager(n_flow=n_flow, seed=seed)
     c_cells, c_bins, c_nn = cfg["create"]
-    NF.create_model(c_cells, c_bins, c_nn, final_rank=rank)
+    NF.create_model(c_cells, c_bins, c_nn, final_rank=rank,
+                    **cfg.get("create_kwargs", {}))
     t0 = time.time()
     NF._train_variance_forward_seq(
         f, optimizers.adamax(2e-3, 1e-4), log=False,
