@@ -33,6 +33,7 @@ def part_a():
     n_fl = 1 << 21
     results = {}
     for fr, act in [(None, "exp"), (8, "exp"), (4, "exp"),
+                    (2, "exp"), (1, "exp"),
                     (None, "squareplus"), (4, "squareplus"),
                     (2, "squareplus")]:
         tag = f"rank{fr}_{act}"
