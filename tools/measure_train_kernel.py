@@ -46,9 +46,10 @@ def paired_rate(fn, n_per_call, k1=1, k2=5, reps=5):
     return ((k2 - k1) * n_per_call) / (t2 - t1)
 
 
-def manager_rate(n_flow, create_args, f, batch, mini_batch, layout_mode):
+def manager_rate(n_flow, create_args, f, batch, mini_batch, layout_mode,
+                 create_kwargs=None):
     NF = PWQuadManager(n_flow=n_flow, seed=2)
-    NF.create_model(*create_args)
+    NF.create_model(*create_args, **(create_kwargs or {}))
     NF._train_variance_forward_seq(
         f, optimizers.adamax(2e-3, 1e-4), log=False, batch_size=batch,
         epochs=6, pretty_progressbar=False, mini_batch_size=mini_batch,
