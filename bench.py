@@ -380,6 +380,22 @@ def main():
             train_dev["train_samples_per_sec_device_flagship_stale"] = sps
         except Exception as e:
             print(f"# flagship stale train-kernel metric unavailable: {e}")
+        try:
+            # the flagship TRAINING recommendation: final_rank=4 cuts the
+            # backward's per-param dW cost ~3.6x (docs/TRAIN_KERNEL.md;
+            # measured 2.53e7/s vs 1.0e7/s dense, 4.9x the XLA trainer)
+            flat10_r = lambda x: jnp.ones(x.shape[0], x.dtype)
+            NF_fr = PWQuadManager(n_flow=10, seed=4)
+            NF_fr.create_model(8, 8, [16, 16], final_rank=4)
+            NF_fr._train_variance_forward_seq(
+                flat10_r, optimizers.adamax(2e-3, 1e-4), log=False,
+                batch_size=1 << 20, epochs=6, pretty_progressbar=False,
+                mini_batch_size=1 << 18, integrate=False, preburn_time=0,
+                epochs_per_sync=6, bn_stats="stale")
+            sec_e, sps = NF_fr.benchmark_train_step(reps=3)
+            train_dev["train_samples_per_sec_device_flagship_stale_rank4"] = sps
+        except Exception as e:
+            print(f"# flagship rank4 stale train-kernel metric unavailable: {e}")
 
     ps_sps = 0.0
     try:
