@@ -19,7 +19,7 @@ reference plateau identically (measured ESS ratio 0.3x both) when trained
 flow-alone — a limitation of the forward-variance training scheme itself,
 not the port.  The nf_tpu answer is the decay-tree channel machinery
 (phasespace/topology.py): Breit-Wigner-mapped channels lift the 2->4
-double-resonance to ~11% uniform / ~20% flow ESS (tools/run_2to4.py), and
+double-resonance to 11.4% uniform / 39.8% flow ESS (tools/run_2to4.py), and
 competing pairings combine via Kleiss-Pittau alphas
 (examples/zz_multichannel.py).
 
