@@ -116,6 +116,22 @@ class VirtualPhaseSpaceGenerator:
             * self.get_pdfQ2(self.pdf, pdgs[1], xb_2, scale2) * x_cut
         return random_variables, E_cm_eff, xb_1, xb_2, wgt_jac
 
+    def _invert_pdf_columns(self, E_cm, xb_1, xb_2):
+        """Reconstruct the trailing two PDF latent columns from Bjorken x's
+        — the inverse of :meth:`_convolve_pdf`'s stripping (tau/ycm or
+        direct-x layout).  Shared by the ``invertKinematics_batch``
+        implementations of the flat and tree generators."""
+        if self.tau:
+            tot_mass = float(np.sum(np.asarray(self.final_masses)))
+            tau_min = (max(tot_mass, self.absolute_Ecm_min) / E_cm) ** 2
+            tau = xb_1 * xb_2
+            r_tau = (tau - tau_min) / (1.0 - tau_min)
+            ycm = 0.5 * jnp.log(xb_1 / xb_2)
+            ycm_min = 0.5 * jnp.log(tau)
+            r_ycm = (ycm - ycm_min) / (-2.0 * ycm_min)
+            return jnp.stack([r_tau, r_ycm], axis=1)
+        return jnp.stack([xb_2, xb_1], axis=1)
+
     def _cut_factor(self, momenta_com, xb_1, xb_2, pT_mincut, delR_mincut,
                     rap_maxcut):
         """0/1 per-event cut factor, evaluated in the LAB frame
@@ -416,15 +432,5 @@ class FlatInvertiblePhasespace(VirtualPhaseSpaceGenerator):
         if xb_1 is None or xb_2 is None:
             raise PhaseSpaceGeneratorError(
                 "invertKinematics_batch with pdf_active requires xb_1 and xb_2")
-        if self.tau:
-            tot_mass = float(np.sum(np.asarray(self.final_masses)))
-            tau_min = (max(tot_mass, self.absolute_Ecm_min) / E_cm) ** 2
-            tau = xb_1 * xb_2
-            r_tau = (tau - tau_min) / (1.0 - tau_min)
-            ycm = 0.5 * jnp.log(xb_1 / xb_2)
-            ycm_min = 0.5 * jnp.log(tau)
-            r_ycm = (ycm - ycm_min) / (-2.0 * ycm_min)
-            extra = jnp.stack([r_tau, r_ycm], axis=1)
-        else:
-            extra = jnp.stack([xb_2, xb_1], axis=1)
+        extra = self._invert_pdf_columns(E_cm, xb_1, xb_2)
         return jnp.concatenate([rv, extra], axis=1)

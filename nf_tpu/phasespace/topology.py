@@ -79,6 +79,10 @@ class UniformSMap:
         del s
         return s_max - s_min
 
+    def invert(self, s, s_min, s_max):
+        return jnp.clip((s - s_min) / jnp.maximum(s_max - s_min, 1e-300),
+                        0.0, 1.0)
+
 
 class BreitWignerSMap:
     """Breit-Wigner importance map: s = m^2 + m*Gamma*tan(t), t uniform
@@ -113,6 +117,14 @@ class BreitWignerSMap:
         t_min, t_max = self._angles(s_min, s_max)
         return (t_max - t_min) * ((s - m2) ** 2 + mg * mg) / mg
 
+    def invert(self, s, s_min, s_max):
+        m2 = self.mass * self.mass
+        mg = self.mass * self.width
+        t_min, t_max = self._angles(s_min, s_max)
+        t = jnp.arctan((s - m2) / mg)
+        return jnp.clip((t - t_min) / jnp.maximum(t_max - t_min, 1e-300),
+                        0.0, 1.0)
+
 
 class PowerSMap:
     """Power-law importance map ~ s^exponent (exponent != -1): flattens
@@ -137,7 +149,22 @@ class PowerSMap:
     def ds_du_at(self, s, s_min, s_max):
         a = self.exponent + 1.0
         lo = jnp.maximum(s_min, self.s_floor)
-        return (s_max ** a - lo ** a) / (a * s ** (a - 1.0))
+        # the floor truncates the support: points below it are unreachable
+        # by this map, so the channel density there is exactly zero (the
+        # multi-channel denominator then correctly drops this channel)
+        return jnp.where(s >= lo,
+                         (s_max ** a - lo ** a)
+                         / (a * jnp.maximum(s, 1e-300) ** (a - 1.0)),
+                         0.0)
+
+    def invert(self, s, s_min, s_max):
+        a = self.exponent + 1.0
+        lo = jnp.maximum(s_min, self.s_floor)
+        sa_min = lo ** a
+        sa_max = s_max ** a
+        return jnp.clip((s ** a - sa_min)
+                        / jnp.where(sa_max != sa_min, sa_max - sa_min, 1.0),
+                        0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +421,79 @@ class ResonanceDecayPhasespace(VirtualPhaseSpaceGenerator):
                 weight = weight * node.right.s_map.ds_du_at(
                     M_B ** 2, s_lo, s_hi) / _TWO_PI
         return weight
+
+    # -- inversion (latents from kinematics) ----------------------------------
+
+    def invertKinematics_batch(self, E_cm, momenta, xb_1=None, xb_2=None):
+        """Recover the latent random variables from COM-frame kinematics.
+
+        Inverse of :meth:`generateKinematics_batch` — the tree-channel
+        analogue of the flat generator's inverse (the reference lists
+        phase-space inversion as an unimplemented TODO, reference
+        README.md:69).  Every column is closed-form: node invariant masses
+        come straight from the momenta and invert through each node's
+        ``s_map.invert``; decay angles come from pure-boosting each left
+        child into its parent's rest frame (generation applies the pure
+        boost with global axes, so no rotation bookkeeping is needed).
+        With ``pdf_active`` the Bjorken fractions must be supplied.
+
+        This is what makes LEARNED multi-channel combinations possible:
+        evaluating channel m's flow-warped density at a point generated by
+        channel k needs u_m(x) for every m (training/multichannel.py).
+        """
+        fin = momenta[:, self.n_initial:, :]
+        dtype = momenta.dtype
+
+        def node_P(node):
+            if node.is_leaf:
+                return fin[:, node.index, :]
+            return node_P(node.left) + node_P(node.right)
+
+        def node_mass(node):
+            if node.is_leaf:
+                return jnp.broadcast_to(
+                    jnp.asarray(self.final_masses[node.index], dtype),
+                    fin.shape[:1])
+            return jnp.sqrt(jnp.maximum(lorentz.square(node_P(node)), 0.0))
+
+        rv = [None] * self.nDimPhaseSpace()
+        for node in self._internal:
+            M_node = node_mass(node)
+            M_A = node_mass(node.left)
+            M_B = node_mass(node.right)
+            min_a = self._min_mass(node.left, dtype)
+            min_b = self._min_mass(node.right, dtype)
+            # mass columns: same draw-order bounds as generation
+            if not node.left.is_leaf:
+                s_lo = min_a ** 2
+                s_hi = jnp.maximum((M_node - min_b) ** 2, s_lo)
+                rv[self._mass_col[id(node.left)]] = \
+                    node.left.s_map.invert(M_A ** 2, s_lo, s_hi)
+            if not node.right.is_leaf:
+                s_lo = min_b ** 2
+                s_hi = jnp.maximum((M_node - M_A) ** 2, s_lo)
+                rv[self._mass_col[id(node.right)]] = \
+                    node.right.s_map.invert(M_B ** 2, s_lo, s_hi)
+            # angle columns: left child in the node's rest frame
+            beta = lorentz.boost_vector(node_P(node))
+            p_star = lorentz.boost(node_P(node.left), -beta)
+            p_mag = jnp.sqrt(jnp.maximum(
+                jnp.sum(p_star[:, 1:] ** 2, axis=-1), 1e-300))
+            cos_t = jnp.clip(p_star[:, 3] / p_mag, -1.0, 1.0)
+            phia = jnp.arctan2(p_star[:, 2], p_star[:, 1])
+            phia = jnp.where(phia < 0, phia + _TWO_PI, phia)
+            c0 = self._ang_col[id(node)]
+            rv[c0] = (cos_t + 1.0) / 2.0
+            rv[c0 + 1] = phia / _TWO_PI
+        rv = jnp.stack(rv, axis=1)
+
+        if not self.pdf_active:
+            return rv
+        if xb_1 is None or xb_2 is None:
+            raise PhaseSpaceGeneratorError(
+                "invertKinematics_batch with pdf_active requires xb_1 and xb_2")
+        extra = self._invert_pdf_columns(E_cm, xb_1, xb_2)
+        return jnp.concatenate([rv, extra], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -370,3 +370,87 @@ def test_optimize_alphas_kleiss_pittau():
     for h in hist:
         err = np.sqrt(h["variance"] / (1 << 15))
         assert abs(h["integral"] - I_an) < 6 * err
+
+
+# ---------------------------------------------------------------------------
+# Inversion (latents from kinematics) — the enabler for learned multi-channel
+# ---------------------------------------------------------------------------
+
+def test_smap_invert_roundtrip():
+    """u -> s -> u closed-form inverses for all three s-maps."""
+    u = jnp.linspace(0.001, 0.999, 101)
+    lo, hi = jnp.asarray(100.0), jnp.asarray(9e4)
+    for m in (UniformSMap(), BreitWignerSMap(MZ, GZ),
+              PowerSMap(-1.5, s_floor=1.0)):
+        s, _ = m.sample(u, lo, hi)
+        np.testing.assert_allclose(np.asarray(m.invert(s, lo, hi)),
+                                   np.asarray(u), atol=1e-9,
+                                   err_msg=type(m).__name__)
+
+
+@pytest.mark.parametrize("topo,maps", [
+    (((0, 1), (2, 3)), {(0, 1): BreitWignerSMap(MZ, GZ),
+                        (2, 3): BreitWignerSMap(MZ, GZ)}),
+    ((0, (1, (2, 3))), {(2, 3): PowerSMap(-1.5, s_floor=1.0)}),
+    (((0, 2), (1, 3)), None),
+])
+def test_tree_invert_roundtrip(topo, maps):
+    """rv -> momenta -> rv through the tree channel, massive finals."""
+    masses = [5.0, 3.0, 8.0, 1.0]
+    gen = ResonanceDecayPhasespace([0.0, 0.0], masses, topo, mass_maps=maps)
+    w = jax.random.uniform(jax.random.PRNGKey(7),
+                           (5_000, gen.nDimPhaseSpace()), jnp.float64)
+    w = 0.002 + 0.996 * w      # stay off exact endpoints (clip in inverse)
+    mom, wt = gen.generateKinematics_batch(800.0, w)
+    rv = np.asarray(gen.invertKinematics_batch(800.0, mom))
+    np.testing.assert_allclose(rv, np.asarray(w), atol=5e-7)
+    # and forward again: identical momenta
+    mom2, wt2 = gen.generateKinematics_batch(800.0, jnp.asarray(rv))
+    np.testing.assert_allclose(np.asarray(mom2), np.asarray(mom), atol=1e-5)
+
+
+def test_tree_invert_roundtrip_pdf():
+    """Roundtrip incl. the PDF convolution columns (tau mode)."""
+    gen = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 1), (2, 3)),
+        mass_maps={(0, 1): BreitWignerSMap(MZ, GZ),
+                   (2, 3): BreitWignerSMap(MZ, GZ)},
+        pdf=ToyPDF(), pdf_active=True, tau=True)
+    n = gen.nDimPhaseSpace() + 2
+    w = jax.random.uniform(jax.random.PRNGKey(8), (5_000, n), jnp.float64)
+    w = 0.002 + 0.996 * w
+    E_col = 2000.0
+    mom, wt = gen.generateKinematics_batch(E_col, w, pdgs=(2, -2))
+    _, _, xb1, xb2, _ = gen._convolve_pdf(E_col, w, (2, -2))
+    rv = np.asarray(gen.invertKinematics_batch(E_col, mom, xb1, xb2))
+    np.testing.assert_allclose(rv, np.asarray(w), atol=5e-7)
+
+
+def test_cross_channel_invert_consistency():
+    """A point generated by channel A, pushed through channel B's inverse
+    and back through B's forward map, reproduces the same momenta — the
+    property the learned multi-channel density evaluation relies on."""
+    ch_a = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 1), (2, 3)),
+        mass_maps={(0, 1): BreitWignerSMap(MZ, GZ),
+                   (2, 3): BreitWignerSMap(MZ, GZ)})
+    ch_b = ResonanceDecayPhasespace(
+        [0.0, 0.0], [0.0] * 4, ((0, 3), (1, 2)),
+        mass_maps={(0, 3): PowerSMap(-1.2, s_floor=1.0)})
+    w = jax.random.uniform(jax.random.PRNGKey(9),
+                           (5_000, ch_a.nDimPhaseSpace()), jnp.float64)
+    w = 0.002 + 0.996 * w
+    mom, _ = ch_a.generateKinematics_batch(E, w)
+    u_b = ch_b.invertKinematics_batch(E, mom)
+    assert np.all(np.asarray(u_b) >= 0) and np.all(np.asarray(u_b) <= 1)
+    mom2, _ = ch_b.generateKinematics_batch(E, u_b)
+    # only points inside B's support roundtrip (the PowerSMap s_floor
+    # truncates it; channel_weight_ps is exactly 0 outside, which is what
+    # the multi-channel denominator consumes)
+    in_support = np.asarray(ch_b.channel_weight_ps(mom)) > 0
+    assert in_support.mean() > 0.95
+    np.testing.assert_allclose(np.asarray(mom2)[in_support],
+                               np.asarray(mom)[in_support], atol=1e-5)
+    assert not np.any(in_support
+                      & (np.abs(np.asarray(mom2) - np.asarray(mom))
+                         .max(axis=(1, 2)) > 1e-5))
