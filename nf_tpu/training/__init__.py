@@ -1,4 +1,5 @@
-from nf_tpu.training import manager, metrics, optimizers, ensemble
+from nf_tpu.training import (manager, metrics, multichannel, optimizers,
+                             ensemble)
 from nf_tpu.training.manager import (
     BasicManager,
     AffineManager,
@@ -9,6 +10,7 @@ from nf_tpu.training.manager import (
 __all__ = [
     "manager",
     "metrics",
+    "multichannel",
     "optimizers",
     "ensemble",
     "BasicManager",

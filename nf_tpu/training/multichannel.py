@@ -1,0 +1,295 @@
+"""Learned multi-channel importance sampling: one flow PER channel.
+
+The fixed-alpha combination (phasespace.topology.multichannel_integrand)
+feeds ONE flow a selector column + a shared latent block — but the same
+latent columns mean different things in different channels, so a single
+smooth map cannot specialize per channel.  This module implements the
+modern answer (MadNIS-style; Heimel et al., arXiv 2311.01548 — technique
+reference only): each channel k gets its own normalizing flow g_k on its
+own latent cube, and samples are combined with the full LEARNED mixture
+density
+
+    q(x) = sum_m alpha_m  rho_m(u_m(x)) / w_m^PS(x) / C(x)
+
+where rho_m is flow m's latent density (flows.model.inverse: the exact
+inverse-Jacobian), u_m(x) the channel-m latent coordinates of the point
+(ResonanceDecayPhasespace.invertKinematics_batch — closed-form), w_m^PS
+the closed-form channel phase-space density, and C(x) the channel-
+independent PDF * cuts / flux factor.  Every sample carries weight
+f(x)/q(x), which is exactly unbiased for ANY positive alphas and ANY
+flow parameters — optimization only moves variance.
+
+Training (one jit, lax.scan over epochs — fixed shapes, no host round
+trips):
+
+  * samples are drawn stratified (equal per-channel batches, weighted by
+    alpha — fixed shapes on TPU; the estimator is the alpha-weighted sum
+    of per-channel means);
+  * the flows train on the stratified variance (or second-moment) of the
+    mixture weights with the sample detached (the reference's fixed-
+    sample scheme, reference manager.py:234) — gradients flow through
+    the C^2 density evaluations rho_m(u_m(x_k));
+  * alphas optionally follow the on-device Kleiss-Pittau update from the
+    same samples (topology.optimize_alphas is the host/fixed-map
+    variant);
+  * the best (params, alphas) snapshot is tracked by mixture ESS.
+
+The reference has no multi-channel machinery at all (single flat RAMBO
+channel, reference nisrep/PhaseSpace/flat_phase_space_generator.py); this
+module plus the tree channels is what makes competing-resonance targets
+(e.g. same-flavor ZZ/Z' -> 4l) learnable — measured in
+examples/zz_multichannel.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nf_tpu.flows import factory as fl_factory
+from nf_tpu.flows import model as fmodel
+
+_EPS_U = 1e-9
+
+
+def build_channel_flows(key, channels, n_cells, n_bins, nn_layers,
+                        dtype=None, final_rank=None, activation="exp"):
+    """One identity-initialized PWQuad flow per channel.
+
+    Identity init is essential here: each flow starts as the exact
+    identity so the mixture starts AT the analytic channel maps' quality
+    (factory.identity_init) instead of destroying it.  Returns
+    ``(flows, params_tuple, states_tuple)``.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    n_lat = channels[0].nDimPhaseSpace() \
+        + (2 if channels[0].pdf_active else 0)
+    flows, ps, ss = [], [], []
+    for k in range(len(channels)):
+        fkey = jax.random.fold_in(key, k)
+        flow, p, s = fl_factory.build_pwquad_flow(
+            fkey, n_lat, n_cells, n_bins, nn_layers, dtype,
+            final_rank=final_rank, activation=activation)
+        p = fl_factory.identity_init(p)
+        flows.append(flow)
+        ps.append(p)
+        ss.append(s)
+    return tuple(flows), tuple(ps), tuple(ss)
+
+
+def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
+                    key, batch_per_channel, alphas, pT_mincut=-1,
+                    delR_mincut=-1, rap_maxcut=-1, pdgs=(0, 0), dtype=None):
+    """Draw stratified samples and return mixture weights + density info.
+
+    Returns ``(w [C, B], aux)`` where ``w[k]`` are the weights of channel
+    k's samples (the unbiased integral estimate is
+    ``sum_k alphas[k] * mean(w[k])``) and ``aux['r'] [C, C, B]`` holds the
+    per-sample density fractions ``r[m, k] = (rho_m/ps_m) / q_hat`` the
+    Kleiss-Pittau alpha update consumes.  Samples are DETACHED; gradients
+    flow only through the flow densities (fixed-sample scheme).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    C = len(channels)
+    n_lat = channels[0].nDimPhaseSpace() \
+        + (2 if channels[0].pdf_active else 0)
+    alphas = jnp.asarray(alphas, dtype)
+
+    ws, rs, fs = [], [], []
+    for k, ch in enumerate(channels):
+        z = jax.random.uniform(jax.random.fold_in(key, k),
+                               (batch_per_channel, n_lat), dtype)
+        u_k, _, _ = fmodel.forward(flows[k], params[k], states[k], z, False)
+        u_k = jax.lax.stop_gradient(
+            jnp.clip(u_k, _EPS_U, 1.0 - _EPS_U))
+        x, w_full = ch.generateKinematics_batch(
+            E_cm, u_k, pT_mincut=pT_mincut, delR_mincut=delR_mincut,
+            rap_maxcut=rap_maxcut, pdgs=pdgs)
+        x = jax.lax.stop_gradient(x)
+        w_full = jax.lax.stop_gradient(w_full)
+        if ch.pdf_active:
+            _, _, xb1, xb2, _ = ch._convolve_pdf(E_cm, u_k, pdgs)
+            xb1 = jax.lax.stop_gradient(xb1)
+            xb2 = jax.lax.stop_gradient(xb2)
+        else:
+            xb1 = xb2 = None
+
+        dens = []
+        ps_k = None
+        for m, chm in enumerate(channels):
+            ps_m = chm.channel_weight_ps(x)
+            if m == k:
+                ps_k = ps_m
+                u_m = u_k
+                ok_m = ps_m > 0
+            else:
+                u_m = chm.invertKinematics_batch(E_cm, x, xb1, xb2)
+                # in-support test: ps_m > 0 AND the inverse landed inside
+                # the open cube (clip endpoints mark unreachable points)
+                ok_m = (ps_m > 0) & jnp.all((u_m > 0.0) & (u_m < 1.0),
+                                            axis=1)
+            u_m = jax.lax.stop_gradient(
+                jnp.clip(jnp.where(ok_m[:, None], u_m, 0.5),
+                         _EPS_U, 1.0 - _EPS_U))
+            _, rho_m, _ = fmodel.inverse(flows[m], params[m], states[m],
+                                         u_m, False)
+            dens.append(jnp.where(ok_m,
+                                  rho_m / jnp.where(ok_m, ps_m, 1.0), 0.0))
+        dens = jnp.stack(dens, axis=0)                        # [C, B]
+        q_hat = jnp.sum(alphas[:, None] * dens, axis=0)
+        # C(x) = w_full / ps_k  (PDF * cuts / flux; zero for cut events)
+        ok = (ps_k > 0) & (q_hat > 0) & (w_full != 0)
+        cfac = jnp.where(ok, w_full / jnp.where(ps_k > 0, ps_k, 1.0), 0.0)
+        fval = jax.lax.stop_gradient(matrix_element(x))
+        w = jnp.where(ok, fval * cfac / jnp.where(ok, q_hat, 1.0), 0.0)
+        ws.append(w)
+        rs.append(jnp.where(q_hat[None, :] > 0,
+                            dens / jnp.where(q_hat[None, :] > 0,
+                                             q_hat[None, :], 1.0), 0.0))
+        fs.append(fval)
+    return jnp.stack(ws, axis=0), {"r": jnp.stack(rs, axis=1),
+                                   "f": jnp.stack(fs, axis=0)}
+
+
+def train_multichannel(channels, flows, params, states, matrix_element,
+                       E_cm, optimizer, key, alphas=None,
+                       batch_per_channel=4096, epochs=100, loss_mode="var",
+                       learn_alphas=True, alpha_damping=0.5,
+                       alpha_floor=1e-2, pT_mincut=-1, delR_mincut=-1,
+                       rap_maxcut=-1, pdgs=(0, 0), dtype=None):
+    """Train per-channel flows (+ Kleiss-Pittau alphas) in ONE jit.
+
+    ``optimizer`` is an optax transformation applied to the tuple of all
+    channels' params jointly.  ``loss_mode``: ``"var"`` (stratified
+    within-channel variances, alpha-weighted — the multi-channel analogue
+    of the reference's variance loss) or ``"secmom"`` (alpha-weighted
+    second moment, the MadNIS objective).  When ``learn_alphas`` the
+    Kleiss-Pittau update runs on-device once per epoch with exponent
+    ``alpha_damping/2`` and floor ``alpha_floor`` (the estimator is
+    unbiased at every iterate, so moving alphas never biases the
+    integral).
+
+    Returns a dict: ``params``/``alphas`` (final), ``best_params``/
+    ``best_alphas`` (highest mixture ESS), ``best_ess``, and per-epoch
+    ``history`` arrays (loss, integral, ess, alphas).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    C = len(channels)
+    if alphas is None:
+        alphas = np.full((C,), 1.0 / C)
+    alphas0 = jnp.asarray(np.asarray(alphas, np.float64) /
+                          np.sum(alphas), dtype)
+    opt_state = optimizer.init(tuple(params))
+
+    kw = dict(pT_mincut=pT_mincut, delR_mincut=delR_mincut,
+              rap_maxcut=rap_maxcut, pdgs=pdgs, dtype=dtype)
+
+    # weight scale (the manager's maxf analogue): one detached pass at the
+    # initial parameters keeps the loss O(1)
+    w0, _ = jax.jit(lambda p, a, k: mixture_weights(
+        channels, flows, p, states, matrix_element, E_cm, k,
+        batch_per_channel, a, **kw))(tuple(params), alphas0,
+                                     jax.random.fold_in(key, 0xA11CE))
+    w_scale = jnp.maximum(jnp.max(jax.lax.stop_gradient(w0)), 1e-300)
+
+    def epoch_step(carry, ek):
+        params, opt_state, alphas, best = carry
+
+        def loss_fn(p):
+            w, aux = mixture_weights(channels, flows, p, states,
+                                     matrix_element, E_cm, ek,
+                                     batch_per_channel, alphas, **kw)
+            wn = w / w_scale
+            m1 = jnp.mean(wn, axis=1)
+            m2 = jnp.mean(wn ** 2, axis=1)
+            if loss_mode == "var":
+                loss = jnp.sum(alphas * (m2 - m1 ** 2))
+            else:
+                loss = jnp.sum(alphas * m2)
+            return loss, (w, aux)
+
+        (loss, (w, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(tuple(params))
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              tuple(params))
+        params = jax.tree.map(lambda a, u: a + u, tuple(params), updates)
+
+        m1 = jnp.sum(alphas * jnp.mean(w, axis=1))
+        m2 = jnp.sum(alphas * jnp.mean(w ** 2, axis=1))
+        ess = m1 ** 2 / jnp.maximum(m2, 1e-300)
+        integral = m1
+
+        improved = ess > best[0]
+        best = (jnp.where(improved, ess, best[0]),
+                jax.tree.map(lambda old, new: jnp.where(improved, new, old),
+                             best[1], params),
+                jnp.where(improved, alphas, best[2]))
+
+        if learn_alphas:
+            # Kleiss-Pittau: W_m = E_q[(f/q)^2 p_m] estimated stratified
+            W = jnp.sum(alphas[None, :, None] * w[None, :, :] ** 2
+                        * aux["r"], axis=(1, 2)) / w.shape[1]
+            new = alphas * jnp.power(jnp.maximum(W / jnp.maximum(
+                jnp.max(W), 1e-300), 1e-12), alpha_damping / 2.0)
+            new = new / jnp.sum(new)
+            new = jnp.maximum(new, alpha_floor)
+            alphas = new / jnp.sum(new)
+
+        return (params, opt_state, alphas, best), \
+            (loss, integral, ess, alphas)
+
+    best0 = (jnp.asarray(-1.0, dtype), tuple(params), alphas0)
+    keys = jax.random.split(key, epochs)
+
+    @jax.jit
+    def run(params, opt_state, alphas, best):
+        return jax.lax.scan(epoch_step, (params, opt_state, alphas, best),
+                            keys)
+
+    (params, opt_state, alphas, best), hist = run(
+        tuple(params), opt_state, alphas0, best0)
+    losses, integrals, esses, alpha_hist = hist
+    return {
+        "params": params,
+        "alphas": np.asarray(alphas),
+        "best_params": best[1],
+        "best_alphas": np.asarray(best[2]),
+        "best_ess": float(best[0]),
+        "history": {
+            "loss": np.asarray(losses),
+            "integral": np.asarray(integrals),
+            "ess": np.asarray(esses),
+            "alphas": np.asarray(alpha_hist),
+        },
+    }
+
+
+def multichannel_sample(channels, flows, params, states, matrix_element,
+                        E_cm, key, n_per_channel, alphas, **kw):
+    """Eval-mode stratified sample: returns ``(weights [C, B], aux)`` from
+    :func:`mixture_weights` at fixed parameters — the production surface
+    for integration (:func:`combine_stratified`) and unweighting (accept
+    with probability w / w_max within each channel, weighted
+    cross-channel by alpha)."""
+    return mixture_weights(channels, flows, params, states, matrix_element,
+                           E_cm, key, n_per_channel, alphas, **kw)
+
+
+def combine_stratified(w, alphas):
+    """Combine stratified per-channel weights ``w [C, B]`` into the
+    unbiased ``(integral, error, ess)``.  The estimate is the ALPHA-
+    weighted sum of per-channel means (NOT a flat mean — channels are
+    sampled equally but carry weight alpha_k), with the standard
+    stratified error sum_k alpha_k^2 Var_k / B."""
+    alphas = jnp.asarray(alphas, w.dtype)
+    B = w.shape[1]
+    m1 = jnp.sum(alphas * jnp.mean(w, axis=1))
+    m2 = jnp.sum(alphas * jnp.mean(w ** 2, axis=1))
+    var_k = jnp.var(w, axis=1, ddof=1)
+    err = jnp.sqrt(jnp.sum(alphas ** 2 * var_k) / B)
+    ess = m1 ** 2 / jnp.maximum(m2, 1e-300)
+    return m1, err, ess
