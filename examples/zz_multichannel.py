@@ -123,6 +123,34 @@ def main():
           f"ESS {ess:.4%} ({ess / max(ess_u, 1e-12):.2f}x uniform)  "
           f"integral {sig:.4e} +/- {err:.1e}", flush=True)
 
+    # 5. LEARNED multi-channel (nf_tpu r4 extension, MadNIS-style): one
+    # flow PER channel + on-device Kleiss-Pittau alphas.  The shared flow
+    # above sees the same latent columns meaning different things per
+    # channel; per-channel flows specialize, and the mixture density is
+    # fully learned (training/multichannel.py).
+    from nf_tpu.training import multichannel as mcl
+
+    flows, ps, ss = mcl.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 16, [32] * 2, final_rank=4)
+    t0 = time.time()
+    out = mcl.train_multichannel(
+        channels, flows, ps, ss, matrix_element, E_COLLIDER,
+        optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
+        alphas=list(alphas), batch_per_channel=BATCH // 2, epochs=EPOCHS,
+        **CUTS)
+    w_mc, _ = jax.jit(lambda p, a: mcl.multichannel_sample(
+        channels, flows, p, ss, matrix_element, E_COLLIDER,
+        jax.random.PRNGKey(5), 1 << 16, a, **CUTS))(
+            out["best_params"], jnp.asarray(out["best_alphas"]))
+    sig_mc, err_mc, ess_mc = mcl.combine_stratified(
+        w_mc, jnp.asarray(out["best_alphas"]))
+    print(f"per-channel flows: train {time.time() - t0:.0f}s  "
+          f"ESS {float(ess_mc):.4%} "
+          f"({float(ess_mc) / max(ess_u, 1e-12):.2f}x uniform)  "
+          f"alphas {out['best_alphas'].round(3)}  "
+          f"integral {float(sig_mc):.4e} +/- {float(err_mc):.1e}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

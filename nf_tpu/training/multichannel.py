@@ -81,7 +81,8 @@ def build_channel_flows(key, channels, n_cells, n_bins, nn_layers,
 
 def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
                     key, batch_per_channel, alphas, pT_mincut=-1,
-                    delR_mincut=-1, rap_maxcut=-1, pdgs=(0, 0), dtype=None):
+                    delR_mincut=-1, rap_maxcut=-1, pdgs=(0, 0), dtype=None,
+                    with_kinematics=False):
     """Draw stratified samples and return mixture weights + density info.
 
     Returns ``(w [C, B], aux)`` where ``w[k]`` are the weights of channel
@@ -98,7 +99,7 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
         + (2 if channels[0].pdf_active else 0)
     alphas = jnp.asarray(alphas, dtype)
 
-    ws, rs, fs = [], [], []
+    ws, rs, fs, moms, xbs = [], [], [], [], []
     for k, ch in enumerate(channels):
         z = jax.random.uniform(jax.random.fold_in(key, k),
                                (batch_per_channel, n_lat), dtype)
@@ -150,8 +151,16 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
                             dens / jnp.where(q_hat[None, :] > 0,
                                              q_hat[None, :], 1.0), 0.0))
         fs.append(fval)
-    return jnp.stack(ws, axis=0), {"r": jnp.stack(rs, axis=1),
-                                   "f": jnp.stack(fs, axis=0)}
+        if with_kinematics:
+            moms.append(x)
+            xbs.append(jnp.stack(
+                [xb1, xb2], axis=-1) if ch.pdf_active else
+                jnp.ones((batch_per_channel, 2), dtype))
+    aux = {"r": jnp.stack(rs, axis=1), "f": jnp.stack(fs, axis=0)}
+    if with_kinematics:
+        aux["momenta"] = jnp.stack(moms, axis=0)       # [C, B, P, 4]
+        aux["xb"] = jnp.stack(xbs, axis=0)             # [C, B, 2]
+    return jnp.stack(ws, axis=0), aux
 
 
 def train_multichannel(channels, flows, params, states, matrix_element,
@@ -277,6 +286,68 @@ def multichannel_sample(channels, flows, params, states, matrix_element,
     cross-channel by alpha)."""
     return mixture_weights(channels, flows, params, states, matrix_element,
                            E_cm, key, n_per_channel, alphas, **kw)
+
+
+def multichannel_unweight(channels, flows, params, states, matrix_element,
+                          E_cm, key, alphas, n_events,
+                          batch_per_channel=1 << 15, w_max=None,
+                          wmax_quantile=1.0, max_batches=1000, **kw):
+    """Unweighted event generation from the learned mixture (host loop).
+
+    Strata are equal-size (fixed shapes), so channel k's proposals are
+    accepted with probability ``C * alpha_k * w / w_max`` — the accepted
+    density is then exactly proportional to f(x) (the alpha factor
+    re-weights the equal strata to the alpha-mixture).  ``w_max`` bounds
+    ``C * alpha_k * w``; estimated from one batch when absent
+    (``wmax_quantile < 1`` uses that quantile; over-weight events are
+    accepted unconditionally and counted, standard practice — see
+    training/unweight.py for the single-flow analogue).
+
+    Returns ``(events [>= n_events, n_particles, 4] COM momenta,
+    xb [n, 2], efficiency, n_overweight)``.
+    """
+    C = len(channels)
+    alphas = jnp.asarray(alphas)
+
+    def batch_fn(k):
+        k_w, k_u = jax.random.split(k)
+        w, aux = mixture_weights(channels, flows, params, states,
+                                 matrix_element, E_cm, k_w,
+                                 batch_per_channel, alphas,
+                                 with_kinematics=True, **kw)
+        v = C * alphas[:, None] * w
+        u = jax.random.uniform(k_u, v.shape, dtype=v.dtype)
+        return v, u, aux["momenta"], aux["xb"]
+
+    batch_jit = jax.jit(batch_fn)
+
+    if w_max is None:
+        key, sub = jax.random.split(key)
+        v, _, _, _ = batch_jit(sub)
+        ref = jnp.max(v) if wmax_quantile >= 1.0 \
+            else jnp.quantile(v, wmax_quantile)
+        w_max = float(ref) * 1.05
+
+    out_ev, out_xb = [], []
+    n_acc, n_prop, n_over, v_sum = 0, 0, 0, 0.0
+    for _ in range(max_batches):
+        key, sub = jax.random.split(key)
+        v, u, mom, xb = batch_jit(sub)
+        acc = np.asarray(u * w_max < v)
+        out_ev.append(np.asarray(mom).reshape(-1, mom.shape[2], 4)
+                      [acc.reshape(-1)])
+        out_xb.append(np.asarray(xb).reshape(-1, 2)[acc.reshape(-1)])
+        n_acc += int(acc.sum())
+        n_prop += acc.size
+        n_over += int(np.asarray(jnp.sum(v > w_max)))
+        v_sum += float(jnp.sum(v))
+        if n_acc >= n_events:
+            break
+    events = np.concatenate(out_ev, axis=0)
+    xbs = np.concatenate(out_xb, axis=0)
+    # efficiency = E[v]/w_max over all proposals
+    eff = v_sum / max(n_prop, 1) / w_max
+    return events, xbs, eff, n_over
 
 
 def combine_stratified(w, alphas):

@@ -143,3 +143,44 @@ def test_alphas_move_toward_resonant_channel(channels):
     # the floor applies before re-normalization (same convention as the
     # host optimize_alphas), so it is approximate from above
     assert a_hist.min() >= 5e-3 * 0.99
+
+
+def test_multichannel_unweighting(channels):
+    """Accept-reject from the equal-strata mixture: the unweighted event
+    distribution matches the weighted expectation (resonance-region
+    fraction), with sane efficiency bookkeeping."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    alphas = jnp.asarray([0.6, 0.4])
+
+    # weighted reference for the indicator fraction
+    w, aux = jax.jit(lambda p: mc.mixture_weights(
+        channels, flows, p, ss, me_competing, E, jax.random.PRNGKey(11),
+        1 << 14, alphas, with_kinematics=True))(ps)
+    mom = aux["momenta"]
+
+    def z_frac(momenta):
+        s01 = np.asarray(pair_mass2(momenta, 0, 1))
+        return np.abs(np.sqrt(np.maximum(s01, 0.0)) - MZ) < 5 * GZ
+
+    ind = z_frac(mom.reshape(-1, mom.shape[2], 4)).reshape(w.shape)
+    wA = np.asarray(w) * ind
+    num = float(jnp.sum(alphas * jnp.asarray(wA).mean(axis=1)))
+    den = float(jnp.sum(alphas * jnp.mean(w, axis=1)))
+    frac_weighted = num / den
+
+    events, xbs, eff, n_over = mc.multichannel_unweight(
+        channels, flows, ps, ss, me_competing, E, jax.random.PRNGKey(12),
+        alphas, n_events=3000, batch_per_channel=4096,
+        wmax_quantile=0.9999)
+    assert len(events) >= 3000
+    assert 0.0 < eff <= 1.0
+    assert xbs.shape == (len(events), 2)
+    frac_unweighted = z_frac(jnp.asarray(events)).mean()
+    sigma = np.sqrt(frac_weighted * (1 - frac_weighted) / len(events)) \
+        + 0.01
+    assert abs(frac_unweighted - frac_weighted) < 6 * sigma
+    # events conserve momentum and are COM-frame
+    tot = np.asarray(events[:, 2:, :].sum(axis=1)
+                     - events[:, :2, :].sum(axis=1))
+    np.testing.assert_allclose(tot, 0.0, atol=1e-6)
