@@ -43,7 +43,9 @@ E_COLLIDER = 2000.0
 MZ, GZ = 91.188, 2.4952
 MZP, GZP = 250.0, 12.0
 CUTS = dict(pT_mincut=20.0, delR_mincut=0.4, rap_maxcut=2.4, pdgs=(2, -2))
-BATCH, EPOCHS = 1 << 14, 80          # demo scale; TPU: 1 << 20, 300
+# demo scale; TPU: NF_TPU_ZZ_BATCH=1048576 NF_TPU_ZZ_EPOCHS=300
+BATCH = int(_os.environ.get("NF_TPU_ZZ_BATCH", 1 << 14))
+EPOCHS = int(_os.environ.get("NF_TPU_ZZ_EPOCHS", 80))
 
 
 def bw(s, m, g):
@@ -137,7 +139,7 @@ def main():
         channels, flows, ps, ss, matrix_element, E_COLLIDER,
         optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
         alphas=list(alphas), batch_per_channel=BATCH // 2, epochs=EPOCHS,
-        **CUTS)
+        mini_batch_per_channel=min(BATCH // 2, 1 << 16), **CUTS)
     w_mc, _ = jax.jit(lambda p, a: mcl.multichannel_sample(
         channels, flows, p, ss, matrix_element, E_COLLIDER,
         jax.random.PRNGKey(5), 1 << 16, a, **CUTS))(

@@ -79,10 +79,20 @@ def build_channel_flows(key, channels, n_cells, n_bins, nn_layers,
     return tuple(flows), tuple(ps), tuple(ss)
 
 
+def _shard_batch(z, mesh):
+    """Constrain the batch axis onto the mesh's 'dp' axis (GSPMD shards
+    everything downstream; reductions become psums — same pattern as
+    ``BasicManager._shard_batch``)."""
+    if mesh is None:
+        return z
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(z, NamedSharding(mesh, P("dp")))
+
+
 def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
                     key, batch_per_channel, alphas, pT_mincut=-1,
                     delR_mincut=-1, rap_maxcut=-1, pdgs=(0, 0), dtype=None,
-                    with_kinematics=False):
+                    with_kinematics=False, mesh=None):
     """Draw stratified samples and return mixture weights + density info.
 
     Returns ``(w [C, B], aux)`` where ``w[k]`` are the weights of channel
@@ -91,6 +101,10 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
     per-sample density fractions ``r[m, k] = (rho_m/ps_m) / q_hat`` the
     Kleiss-Pittau alpha update consumes.  Samples are DETACHED; gradients
     flow only through the flow densities (fixed-sample scheme).
+
+    ``mesh`` shards each channel's batch over the mesh's 'dp' axis
+    (bit-identical results — the PRNG stream does not depend on the
+    sharding; only the device placement changes).
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -101,8 +115,9 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
 
     ws, rs, fs, moms, xbs = [], [], [], [], []
     for k, ch in enumerate(channels):
-        z = jax.random.uniform(jax.random.fold_in(key, k),
-                               (batch_per_channel, n_lat), dtype)
+        z = _shard_batch(
+            jax.random.uniform(jax.random.fold_in(key, k),
+                               (batch_per_channel, n_lat), dtype), mesh)
         u_k, _, _ = fmodel.forward(flows[k], params[k], states[k], z, False)
         u_k = jax.lax.stop_gradient(
             jnp.clip(u_k, _EPS_U, 1.0 - _EPS_U))
@@ -168,7 +183,8 @@ def train_multichannel(channels, flows, params, states, matrix_element,
                        batch_per_channel=4096, epochs=100, loss_mode="var",
                        learn_alphas=True, alpha_damping=0.5,
                        alpha_floor=1e-2, pT_mincut=-1, delR_mincut=-1,
-                       rap_maxcut=-1, pdgs=(0, 0), dtype=None):
+                       rap_maxcut=-1, pdgs=(0, 0), dtype=None, mesh=None,
+                       mini_batch_per_channel=None):
     """Train per-channel flows (+ Kleiss-Pittau alphas) in ONE jit.
 
     ``optimizer`` is an optax transformation applied to the tuple of all
@@ -179,7 +195,17 @@ def train_multichannel(channels, flows, params, states, matrix_element,
     Kleiss-Pittau update runs on-device once per epoch with exponent
     ``alpha_damping/2`` and floor ``alpha_floor`` (the estimator is
     unbiased at every iterate, so moving alphas never biases the
-    integral).
+    integral).  ``mesh`` data-parallelizes every epoch over the mesh's
+    'dp' axis (per-channel batches sharded; gradients/means psum'd by
+    GSPMD) — results are bit-identical to the single-device run.
+
+    ``mini_batch_per_channel`` bounds the backward-pass activation
+    memory (the manager's ``mini_batch_size`` analogue): each epoch
+    scans ``batch_per_channel / mini_batch_per_channel`` minibatches,
+    averaging gradients and accumulating the epoch's weight statistics
+    (integral / ESS / Kleiss-Pittau sums stay full-epoch estimates);
+    one optimizer step per epoch.  Defaults to ``batch_per_channel``
+    (single minibatch — identical to the unbatched path).
 
     Returns a dict: ``params``/``alphas`` (final), ``best_params``/
     ``best_alphas`` (highest mixture ESS), ``best_ess``, and per-epoch
@@ -195,40 +221,67 @@ def train_multichannel(channels, flows, params, states, matrix_element,
     opt_state = optimizer.init(tuple(params))
 
     kw = dict(pT_mincut=pT_mincut, delR_mincut=delR_mincut,
-              rap_maxcut=rap_maxcut, pdgs=pdgs, dtype=dtype)
+              rap_maxcut=rap_maxcut, pdgs=pdgs, dtype=dtype, mesh=mesh)
+
+    if mini_batch_per_channel is None:
+        mini_batch_per_channel = batch_per_channel
+    if batch_per_channel % mini_batch_per_channel != 0:
+        raise ValueError(
+            f"mini_batch_per_channel={mini_batch_per_channel} must divide "
+            f"batch_per_channel={batch_per_channel}")
+    n_mb = batch_per_channel // mini_batch_per_channel
+    mb = mini_batch_per_channel
 
     # weight scale (the manager's maxf analogue): one detached pass at the
     # initial parameters keeps the loss O(1)
     w0, _ = jax.jit(lambda p, a, k: mixture_weights(
         channels, flows, p, states, matrix_element, E_cm, k,
-        batch_per_channel, a, **kw))(tuple(params), alphas0,
-                                     jax.random.fold_in(key, 0xA11CE))
+        mb, a, **kw))(tuple(params), alphas0,
+                      jax.random.fold_in(key, 0xA11CE))
     w_scale = jnp.maximum(jnp.max(jax.lax.stop_gradient(w0)), 1e-300)
 
     def epoch_step(carry, ek):
         params, opt_state, alphas, best = carry
 
-        def loss_fn(p):
-            w, aux = mixture_weights(channels, flows, p, states,
-                                     matrix_element, E_cm, ek,
-                                     batch_per_channel, alphas, **kw)
-            wn = w / w_scale
-            m1 = jnp.mean(wn, axis=1)
-            m2 = jnp.mean(wn ** 2, axis=1)
-            if loss_mode == "var":
-                loss = jnp.sum(alphas * (m2 - m1 ** 2))
-            else:
-                loss = jnp.sum(alphas * m2)
-            return loss, (w, aux)
+        def mb_step(acc, mkey):
+            def loss_fn(p):
+                w, aux = mixture_weights(channels, flows, p, states,
+                                         matrix_element, E_cm, mkey,
+                                         mb, alphas, **kw)
+                wn = w / w_scale
+                m1 = jnp.mean(wn, axis=1)
+                m2 = jnp.mean(wn ** 2, axis=1)
+                if loss_mode == "var":
+                    loss = jnp.sum(alphas * (m2 - m1 ** 2))
+                else:
+                    loss = jnp.sum(alphas * m2)
+                return loss, (w, aux)
 
-        (loss, (w, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(tuple(params))
+            (loss, (w, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tuple(params))
+            g_acc, l_acc, s1, s2, sW = acc
+            g_acc = jax.tree.map(lambda a, b: a + b, g_acc, grads)
+            s1 = s1 + jnp.sum(w, axis=1)
+            s2 = s2 + jnp.sum(w ** 2, axis=1)
+            # Kleiss-Pittau numerator sums: W_m = E[(f/q)^2 p_m],
+            # estimated stratified — accumulated across minibatches
+            sW = sW + jnp.sum(alphas[None, :, None] * w[None, :, :] ** 2
+                              * aux["r"], axis=(1, 2))
+            return (g_acc, l_acc + loss, s1, s2, sW), None
+
+        zeros_c = jnp.zeros((C,), dtype)
+        acc0 = (jax.tree.map(jnp.zeros_like, tuple(params)),
+                jnp.zeros((), dtype), zeros_c, zeros_c, zeros_c)
+        (grads, loss, s1, s2, sW), _ = jax.lax.scan(
+            mb_step, acc0, jax.random.split(ek, n_mb))
+        grads = jax.tree.map(lambda g: g / n_mb, grads)
+        loss = loss / n_mb
         updates, opt_state = optimizer.update(grads, opt_state,
                                               tuple(params))
         params = jax.tree.map(lambda a, u: a + u, tuple(params), updates)
 
-        m1 = jnp.sum(alphas * jnp.mean(w, axis=1))
-        m2 = jnp.sum(alphas * jnp.mean(w ** 2, axis=1))
+        m1 = jnp.sum(alphas * s1) / batch_per_channel
+        m2 = jnp.sum(alphas * s2) / batch_per_channel
         ess = m1 ** 2 / jnp.maximum(m2, 1e-300)
         integral = m1
 
@@ -239,9 +292,7 @@ def train_multichannel(channels, flows, params, states, matrix_element,
                 jnp.where(improved, alphas, best[2]))
 
         if learn_alphas:
-            # Kleiss-Pittau: W_m = E_q[(f/q)^2 p_m] estimated stratified
-            W = jnp.sum(alphas[None, :, None] * w[None, :, :] ** 2
-                        * aux["r"], axis=(1, 2)) / w.shape[1]
+            W = sW / batch_per_channel
             new = alphas * jnp.power(jnp.maximum(W / jnp.maximum(
                 jnp.max(W), 1e-300), 1e-12), alpha_damping / 2.0)
             new = new / jnp.sum(new)

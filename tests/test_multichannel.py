@@ -145,6 +145,39 @@ def test_alphas_move_toward_resonant_channel(channels):
     assert a_hist.min() >= 5e-3 * 0.99
 
 
+def test_multichannel_mesh_equivalence(channels):
+    """mesh= shards each channel's batch over 'dp' (GSPMD); weights and a
+    short training run match the single-device path bit-for-bit (the PRNG
+    stream is sharding-independent)."""
+    from nf_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    alphas = jnp.asarray([0.5, 0.5])
+
+    w0, _ = jax.jit(lambda p: mc.mixture_weights(
+        channels, flows, p, ss, me_competing, E, jax.random.PRNGKey(1),
+        8192, alphas))(ps)
+    w1, _ = jax.jit(lambda p: mc.mixture_weights(
+        channels, flows, p, ss, me_competing, E, jax.random.PRNGKey(1),
+        8192, alphas, mesh=mesh))(ps)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), rtol=1e-12)
+
+    runs = [mc.train_multichannel(
+        channels, flows, ps, ss, me_competing, E,
+        optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
+        batch_per_channel=2048, epochs=3, mesh=m)
+        for m in (None, mesh)]
+    np.testing.assert_allclose(runs[1]["history"]["ess"],
+                               runs[0]["history"]["ess"], rtol=1e-10)
+    np.testing.assert_allclose(runs[1]["history"]["integral"],
+                               runs[0]["history"]["integral"], rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(runs[0]["params"]),
+                    jax.tree.leaves(runs[1]["params"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-10, atol=1e-12)
+
+
 def test_multichannel_unweighting(channels):
     """Accept-reject from the equal-strata mixture: the unweighted event
     distribution matches the weighted expectation (resonance-region
@@ -184,3 +217,29 @@ def test_multichannel_unweighting(channels):
     tot = np.asarray(events[:, 2:, :].sum(axis=1)
                      - events[:, :2, :].sum(axis=1))
     np.testing.assert_allclose(tot, 0.0, atol=1e-6)
+
+
+def test_multichannel_minibatch_accumulation(channels):
+    """mini_batch_per_channel bounds backward memory by scanning
+    minibatches within the epoch: the estimator stays unbiased (epoch
+    integrals agree with the fixed-alpha reference at identity init),
+    training still improves ESS, and non-divisible sizes raise."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    out = mc.train_multichannel(
+        channels, flows, ps, ss, me_competing, E,
+        optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
+        batch_per_channel=4096, mini_batch_per_channel=1024, epochs=12)
+    hist = out["history"]
+    assert np.all(np.isfinite(hist["ess"]))
+    ref, ref_err = fixed_alpha_reference(channels, me_competing,
+                                         [0.5, 0.5], 1 << 16)
+    # epoch-0 runs at identity flows with alphas [0.5, 0.5]
+    err0 = ref_err * np.sqrt((1 << 16) / 4096.0)
+    assert abs(hist["integral"][0] - ref) < 6 * np.hypot(err0, ref_err)
+    assert hist["ess"][-3:].max() > hist["ess"][0]
+    with pytest.raises(ValueError):
+        mc.train_multichannel(
+            channels, flows, ps, ss, me_competing, E,
+            optimizers.adamax(2e-3), jax.random.PRNGKey(3),
+            batch_per_channel=4096, mini_batch_per_channel=1000, epochs=2)

@@ -454,3 +454,92 @@ def test_cross_channel_invert_consistency():
     assert not np.any(in_support
                       & (np.abs(np.asarray(mom2) - np.asarray(mom))
                          .max(axis=(1, 2)) > 1e-5))
+
+
+# ---------------------------------------------------------------------------
+# 2 -> 6 cascade (three-level tree): the generality the 4-body groups
+# above don't reach — nested resonances at two depths (t -> W b like).
+# ---------------------------------------------------------------------------
+
+MT, GT = 173.0, 1.4
+MW, GW = 80.4, 2.1
+E6 = 1000.0
+TOPO6 = ((0, (1, 2)), (3, (4, 5)))
+MAPS6 = {(0, 1, 2): BreitWignerSMap(MT, GT),
+         (1, 2): BreitWignerSMap(MW, GW),
+         (3, 4, 5): BreitWignerSMap(MT, GT),
+         (4, 5): BreitWignerSMap(MW, GW)}
+
+
+def test_cascade6_flat_volume_parity():
+    """Uniform s-maps on the 3-level 6-leaf tree integrate to the
+    closed-form massless 6-body volume (get_flatWeights, reference
+    flat_phase_space_generator.py:81-97)."""
+    gen = ResonanceDecayPhasespace([0.0, 0.0], [0.0] * 6, TOPO6)
+    assert gen.nDimPhaseSpace() == 3 * 6 - 4
+    w = jax.random.uniform(jax.random.PRNGKey(6),
+                           (1_000_000, gen.nDimPhaseSpace()))
+    _, wt = jax.jit(lambda w: gen.generateKinematics_batch(E6, w))(w)
+    vol = np.asarray(wt) * 2 * E6 ** 2
+    exact = FlatInvertiblePhasespace.get_flatWeights(E6, 6)
+    err = vol.std(ddof=1) / np.sqrt(len(vol))
+    assert abs(vol.mean() - exact) < 5 * err
+    assert err / exact < 0.05
+
+
+def test_cascade6_bw_channel():
+    """Nested BW maps (t above W): conservation, on-shell finals,
+    closed-form density round trip, and full latent inversion."""
+    gen = ResonanceDecayPhasespace([0.0, 0.0], [0.0] * 6, TOPO6,
+                                   mass_maps=MAPS6)
+    w = jax.random.uniform(jax.random.PRNGKey(16),
+                           (20_000, gen.nDimPhaseSpace()), jnp.float64)
+    w = 0.002 + 0.996 * w
+    mom, wt = gen.generateKinematics_batch(E6, w)
+    tot = jnp.sum(mom[:, 2:, :], axis=1) - jnp.sum(mom[:, :2, :], axis=1)
+    np.testing.assert_allclose(np.asarray(tot), 0.0, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(lorentz.square(mom[:, 2:, :].reshape(-1, 4))), 0.0,
+        atol=1e-6)
+    # the sampled pair masses sit on the mapped resonances
+    m_top = np.sqrt(np.asarray(lorentz.square(
+        mom[:, 2 + 0] + mom[:, 2 + 1] + mom[:, 2 + 2])))
+    m_w = np.sqrt(np.asarray(lorentz.square(mom[:, 2 + 1] + mom[:, 2 + 2])))
+    assert abs(np.median(m_top) - MT) < 5 * GT
+    assert abs(np.median(m_w) - MW) < 5 * GW
+    # closed-form channel density reproduces the generation-time weight
+    ps_gen = np.asarray(wt) * 2 * E6 ** 2
+    ps_at = np.asarray(gen.channel_weight_ps(mom))
+    np.testing.assert_allclose(ps_at, ps_gen, rtol=1e-8)
+    # full inversion round trip at depth 3
+    rv = np.asarray(gen.invertKinematics_batch(E6, mom))
+    np.testing.assert_allclose(rv, np.asarray(w), atol=5e-7)
+
+
+def test_cascade6_ess_vs_flat():
+    """On a t-tbar-like toy |M|^2 the cascade channel's uniform-latent ESS
+    beats the flat RAMBO chain by orders of magnitude — the 6-body
+    version of the multi-channel capability story."""
+    def me6(m):
+        f = m[:, 2:, :]
+        out = 1.0
+        for trip, pair in (((0, 1, 2), (1, 2)), ((3, 4, 5), (4, 5))):
+            s_t = lorentz.square(f[:, trip[0]] + f[:, trip[1]]
+                                 + f[:, trip[2]])
+            s_w = lorentz.square(f[:, pair[0]] + f[:, pair[1]])
+            out = out * 1e6 / ((s_t - MT ** 2) ** 2 + (MT * GT) ** 2) \
+                * 1e6 / ((s_w - MW ** 2) ** 2 + (MW * GW) ** 2)
+        return out
+
+    def ess(gen2):
+        w = jax.random.uniform(jax.random.PRNGKey(10),
+                               (1 << 18, gen2.nDimPhaseSpace()))
+        mom, wt = gen2.generateKinematics_batch(E6, w)
+        v = np.asarray(me6(mom) * wt)
+        return v.mean() ** 2 / np.maximum((v ** 2).mean(), 1e-300)
+
+    e_casc = ess(ResonanceDecayPhasespace([0.0, 0.0], [0.0] * 6, TOPO6,
+                                          mass_maps=MAPS6))
+    e_flat = ess(FlatInvertiblePhasespace([0.0, 0.0], [0.0] * 6))
+    assert e_casc > 0.01
+    assert e_casc > 100 * max(e_flat, 1e-12)
