@@ -139,7 +139,9 @@ def main():
         channels, flows, ps, ss, matrix_element, E_COLLIDER,
         optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
         alphas=list(alphas), batch_per_channel=BATCH // 2, epochs=EPOCHS,
-        mini_batch_per_channel=min(BATCH // 2, 1 << 16), **CUTS)
+        mini_batch_per_channel=min(BATCH // 2, 1 << 16),
+        epochs_per_call=EPOCHS // 12 if EPOCHS % 12 == 0 else None,
+        **CUTS)
     w_mc, _ = jax.jit(lambda p, a: mcl.multichannel_sample(
         channels, flows, p, ss, matrix_element, E_COLLIDER,
         jax.random.PRNGKey(5), 1 << 16, a, **CUTS))(

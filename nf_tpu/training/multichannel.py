@@ -184,7 +184,7 @@ def train_multichannel(channels, flows, params, states, matrix_element,
                        learn_alphas=True, alpha_damping=0.5,
                        alpha_floor=1e-2, pT_mincut=-1, delR_mincut=-1,
                        rap_maxcut=-1, pdgs=(0, 0), dtype=None, mesh=None,
-                       mini_batch_per_channel=None):
+                       mini_batch_per_channel=None, epochs_per_call=None):
     """Train per-channel flows (+ Kleiss-Pittau alphas) in ONE jit.
 
     ``optimizer`` is an optax transformation applied to the tuple of all
@@ -206,6 +206,14 @@ def train_multichannel(channels, flows, params, states, matrix_element,
     (integral / ESS / Kleiss-Pittau sums stay full-epoch estimates);
     one optimizer step per epoch.  Defaults to ``batch_per_channel``
     (single minibatch — identical to the unbatched path).
+
+    ``epochs_per_call`` splits the epoch scan across several device
+    dispatches (ONE compiled program reused; the epoch-key stream and
+    every statistic are identical to the single-dispatch run).  Use it
+    to bound per-dispatch device-program size on runtimes that fault on
+    very large programs (the remote-runtime fault register in
+    training/ensemble.py) and to regain between-dispatch progress
+    visibility on long runs.
 
     Returns a dict: ``params``/``alphas`` (final), ``best_params``/
     ``best_alphas`` (highest mixture ESS), ``best_ess``, and per-epoch
@@ -302,17 +310,31 @@ def train_multichannel(channels, flows, params, states, matrix_element,
         return (params, opt_state, alphas, best), \
             (loss, integral, ess, alphas)
 
+    if epochs_per_call is None:
+        epochs_per_call = epochs
+    if epochs % epochs_per_call != 0:
+        raise ValueError(
+            f"epochs_per_call={epochs_per_call} must divide "
+            f"epochs={epochs}")
+    n_calls = epochs // epochs_per_call
+
     best0 = (jnp.asarray(-1.0, dtype), tuple(params), alphas0)
     keys = jax.random.split(key, epochs)
 
     @jax.jit
-    def run(params, opt_state, alphas, best):
+    def run(params, opt_state, alphas, best, chunk_keys):
         return jax.lax.scan(epoch_step, (params, opt_state, alphas, best),
-                            keys)
+                            chunk_keys)
 
-    (params, opt_state, alphas, best), hist = run(
-        tuple(params), opt_state, alphas0, best0)
-    losses, integrals, esses, alpha_hist = hist
+    carry = (tuple(params), opt_state, alphas0, best0)
+    hists = []
+    for c in range(n_calls):
+        carry, hist = run(*carry,
+                          keys[c * epochs_per_call:(c + 1) * epochs_per_call])
+        hists.append(hist)
+    params, opt_state, alphas, best = carry
+    losses, integrals, esses, alpha_hist = (
+        jnp.concatenate([h[j] for h in hists]) for j in range(4))
     return {
         "params": params,
         "alphas": np.asarray(alphas),

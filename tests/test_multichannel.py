@@ -243,3 +243,29 @@ def test_multichannel_minibatch_accumulation(channels):
             channels, flows, ps, ss, me_competing, E,
             optimizers.adamax(2e-3), jax.random.PRNGKey(3),
             batch_per_channel=4096, mini_batch_per_channel=1000, epochs=2)
+
+
+def test_multichannel_epochs_per_call_exact(channels):
+    """Splitting the epoch scan across dispatches reuses one compiled
+    program and reproduces the single-dispatch run exactly (same epoch
+    key stream, same statistics); non-divisible counts raise."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    runs = [mc.train_multichannel(
+        channels, flows, ps, ss, me_competing, E,
+        optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
+        batch_per_channel=1024, epochs=6, epochs_per_call=epc)
+        for epc in (None, 2)]
+    for k in ("loss", "integral", "ess"):
+        np.testing.assert_allclose(runs[1]["history"][k],
+                                   runs[0]["history"][k], rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(runs[0]["params"]),
+                    jax.tree.leaves(runs[1]["params"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+    assert runs[1]["best_ess"] == pytest.approx(runs[0]["best_ess"],
+                                                rel=1e-12)
+    with pytest.raises(ValueError):
+        mc.train_multichannel(
+            channels, flows, ps, ss, me_competing, E,
+            optimizers.adamax(2e-3), jax.random.PRNGKey(3),
+            batch_per_channel=1024, epochs=5, epochs_per_call=2)
