@@ -135,10 +135,14 @@ def main():
     flows, ps, ss = mcl.build_channel_flows(
         jax.random.PRNGKey(0), channels, 4, 16, [32] * 2, final_rank=4)
     t0 = time.time()
+    # loss_mode="kl" is the measured winner here (28.9% best ESS vs ~2%
+    # for var/secmom which plateau regardless of lr — the sweep is
+    # tools/tune_multichannel.py); lr 5e-3 from the same sweep.
     out = mcl.train_multichannel(
         channels, flows, ps, ss, matrix_element, E_COLLIDER,
-        optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
+        optimizers.adamax(5e-3, 1e-4), jax.random.PRNGKey(3),
         alphas=list(alphas), batch_per_channel=BATCH // 2, epochs=EPOCHS,
+        loss_mode="kl",
         mini_batch_per_channel=min(BATCH // 2, 1 << 16),
         epochs_per_call=EPOCHS // 12 if EPOCHS % 12 == 0 else None,
         **CUTS)
@@ -154,6 +158,15 @@ def main():
           f"alphas {out['best_alphas'].round(3)}  "
           f"integral {float(sig_mc):.4e} +/- {float(err_mc):.1e}",
           flush=True)
+
+    # 6. unweighted events from the learned mixture
+    events, xbs, eff, n_over = mcl.multichannel_unweight(
+        channels, flows, out["best_params"], ss, matrix_element,
+        E_COLLIDER, jax.random.PRNGKey(7), out["best_alphas"],
+        n_events=20_000, batch_per_channel=1 << 15,
+        wmax_quantile=0.9999, **CUTS)
+    print(f"unweighted: {len(events)} events  efficiency {eff:.4%}  "
+          f"overweight {n_over}", flush=True)
 
 
 if __name__ == "__main__":

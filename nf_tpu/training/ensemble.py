@@ -44,6 +44,16 @@ import numpy as np
 # environment with a different ceiling converges to a working size instead
 # of faulting permanently.  Bisect the actual boundary on a given runtime
 # with tools/probe_ensemble_ceiling.py.
+#
+# Second observed instance (r4): a multi-channel training dispatch with a
+# 300-epoch x 8-minibatch lax.scan (2 channels x 524288 rows/minibatch,
+# ~2.5e9 total sample rows in ONE device program) killed the same remote
+# worker with the same signature ("TPU worker process crashed or
+# restarted", not an allocator OOM — the per-minibatch working set was
+# only ~50 MB).  Chunking the same program into 25-epoch dispatches
+# (multichannel.train_multichannel(epochs_per_call=...)) runs clean,
+# pointing at total per-dispatch program size/duration, not width, as the
+# binding variable.
 MAX_SAMPLE_ROWS_PER_CALL = 320_000
 
 # Exception types treated as "the device program / runtime died" and worth

@@ -99,8 +99,11 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
     k's samples (the unbiased integral estimate is
     ``sum_k alphas[k] * mean(w[k])``) and ``aux['r'] [C, C, B]`` holds the
     per-sample density fractions ``r[m, k] = (rho_m/ps_m) / q_hat`` the
-    Kleiss-Pittau alpha update consumes.  Samples are DETACHED; gradients
-    flow only through the flow densities (fixed-sample scheme).
+    Kleiss-Pittau alpha update consumes; ``aux['q'] [C, B]`` is the full
+    learned mixture density q_hat at each sample (gradients attached —
+    the KL loss differentiates through it).  Samples are DETACHED;
+    gradients flow only through the flow densities (fixed-sample
+    scheme).
 
     ``mesh`` shards each channel's batch over the mesh's 'dp' axis
     (bit-identical results — the PRNG stream does not depend on the
@@ -113,7 +116,7 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
         + (2 if channels[0].pdf_active else 0)
     alphas = jnp.asarray(alphas, dtype)
 
-    ws, rs, fs, moms, xbs = [], [], [], [], []
+    ws, qs, rs, fs, moms, xbs = [], [], [], [], [], []
     for k, ch in enumerate(channels):
         z = _shard_batch(
             jax.random.uniform(jax.random.fold_in(key, k),
@@ -162,6 +165,7 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
         fval = jax.lax.stop_gradient(matrix_element(x))
         w = jnp.where(ok, fval * cfac / jnp.where(ok, q_hat, 1.0), 0.0)
         ws.append(w)
+        qs.append(q_hat)
         rs.append(jnp.where(q_hat[None, :] > 0,
                             dens / jnp.where(q_hat[None, :] > 0,
                                              q_hat[None, :], 1.0), 0.0))
@@ -171,7 +175,8 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
             xbs.append(jnp.stack(
                 [xb1, xb2], axis=-1) if ch.pdf_active else
                 jnp.ones((batch_per_channel, 2), dtype))
-    aux = {"r": jnp.stack(rs, axis=1), "f": jnp.stack(fs, axis=0)}
+    aux = {"r": jnp.stack(rs, axis=1), "f": jnp.stack(fs, axis=0),
+           "q": jnp.stack(qs, axis=0)}
     if with_kinematics:
         aux["momenta"] = jnp.stack(moms, axis=0)       # [C, B, P, 4]
         aux["xb"] = jnp.stack(xbs, axis=0)             # [C, B, 2]
@@ -190,8 +195,15 @@ def train_multichannel(channels, flows, params, states, matrix_element,
     ``optimizer`` is an optax transformation applied to the tuple of all
     channels' params jointly.  ``loss_mode``: ``"var"`` (stratified
     within-channel variances, alpha-weighted — the multi-channel analogue
-    of the reference's variance loss) or ``"secmom"`` (alpha-weighted
-    second moment, the MadNIS objective).  When ``learn_alphas`` the
+    of the reference's variance loss), ``"secmom"`` (alpha-weighted
+    second moment, the MadNIS objective), or ``"kl"`` (reweighted
+    forward KL on the learned mixture density — mass-covering).  On the
+    ZZ/Z' competing-pairings target ``"kl"`` is the measured winner by
+    an order of magnitude: 28.9% best ESS vs 2.0% (var) / 2.3% (secmom),
+    which plateau regardless of lr/alphas (tools/tune_multichannel.py,
+    TPU v5e, 300 epochs x 131k/channel).  ``"var"`` stays the default as
+    the reference-analogue objective; use ``"kl"`` for narrow
+    multi-resonance targets.  When ``learn_alphas`` the
     Kleiss-Pittau update runs on-device once per epoch with exponent
     ``alpha_damping/2`` and floor ``alpha_floor`` (the estimator is
     unbiased at every iterate, so moving alphas never biases the
@@ -219,6 +231,9 @@ def train_multichannel(channels, flows, params, states, matrix_element,
     ``best_alphas`` (highest mixture ESS), ``best_ess``, and per-epoch
     ``history`` arrays (loss, integral, ess, alphas).
     """
+    if loss_mode not in ("var", "secmom", "kl"):
+        raise ValueError(f"loss_mode={loss_mode!r} not in "
+                         "('var', 'secmom', 'kl')")
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     C = len(channels)
@@ -261,6 +276,17 @@ def train_multichannel(channels, flows, params, states, matrix_element,
                 m2 = jnp.mean(wn ** 2, axis=1)
                 if loss_mode == "var":
                     loss = jnp.sum(alphas * (m2 - m1 ** 2))
+                elif loss_mode == "kl":
+                    # reweighted forward KL on the learned mixture density
+                    # (the manager's kl extension generalized to channels):
+                    # minimize -E[w_tilde log q_hat] with w_tilde detached.
+                    # Mass-covering; gradients flow through every rho_m in
+                    # q_hat.  Zero-weight (cut / out-of-support) samples
+                    # contribute exactly 0 (w is 0 there and log is
+                    # guarded).
+                    logq = jnp.log(jnp.maximum(aux["q"], 1e-300))
+                    loss = -jnp.sum(alphas * jnp.mean(
+                        jax.lax.stop_gradient(wn) * logq, axis=1))
                 else:
                     loss = jnp.sum(alphas * m2)
                 return loss, (w, aux)

@@ -269,3 +269,26 @@ def test_multichannel_epochs_per_call_exact(channels):
             channels, flows, ps, ss, me_competing, E,
             optimizers.adamax(2e-3), jax.random.PRNGKey(3),
             batch_per_channel=1024, epochs=5, epochs_per_call=2)
+
+
+def test_multichannel_kl_loss_trains_and_stays_unbiased(channels):
+    """The reweighted-KL mode (gradients through the learned mixture
+    density) improves mixture ESS and keeps every epoch's integral
+    unbiased (the weights themselves are loss-mode independent)."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    out = mc.train_multichannel(
+        channels, flows, ps, ss, me_competing, E,
+        optimizers.adamax(2e-3, 1e-4), jax.random.PRNGKey(3),
+        batch_per_channel=2048, epochs=30, loss_mode="kl")
+    h = out["history"]
+    assert out["best_ess"] > min(1.5 * h["ess"][0], h["ess"][0] + 0.15)
+    ref, ref_err = fixed_alpha_reference(channels, me_competing,
+                                         [0.5, 0.5], 1 << 17)
+    hist_err = h["integral"].std(ddof=1) / np.sqrt(len(h["integral"]))
+    assert abs(h["integral"].mean() - ref) < 5 * np.hypot(hist_err, ref_err)
+    with pytest.raises(ValueError):
+        mc.train_multichannel(
+            channels, flows, ps, ss, me_competing, E,
+            optimizers.adamax(2e-3), jax.random.PRNGKey(3),
+            batch_per_channel=1024, epochs=2, loss_mode="nope")
