@@ -92,7 +92,7 @@ def _shard_batch(z, mesh):
 def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
                     key, batch_per_channel, alphas, pT_mincut=-1,
                     delR_mincut=-1, rap_maxcut=-1, pdgs=(0, 0), dtype=None,
-                    with_kinematics=False, mesh=None):
+                    with_kinematics=False, mesh=None, only_channel=None):
     """Draw stratified samples and return mixture weights + density info.
 
     Returns ``(w [C, B], aux)`` where ``w[k]`` are the weights of channel
@@ -108,6 +108,12 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
     ``mesh`` shards each channel's batch over the mesh's 'dp' axis
     (bit-identical results — the PRNG stream does not depend on the
     sharding; only the device placement changes).
+
+    ``only_channel`` (static int) restricts the SOURCE of samples to one
+    channel: ``w``/``aux`` then have a leading source axis of length 1
+    (densities are still evaluated through every channel — q_hat is the
+    full mixture).  Used by the per-channel-max unweighter, which needs
+    unequal proposal counts per channel.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -116,8 +122,10 @@ def mixture_weights(channels, flows, params, states, matrix_element, E_cm,
         + (2 if channels[0].pdf_active else 0)
     alphas = jnp.asarray(alphas, dtype)
 
+    sources = enumerate(channels) if only_channel is None \
+        else [(only_channel, channels[only_channel])]
     ws, qs, rs, fs, moms, xbs = [], [], [], [], [], []
-    for k, ch in enumerate(channels):
+    for k, ch in sources:
         z = _shard_batch(
             jax.random.uniform(jax.random.fold_in(key, k),
                                (batch_per_channel, n_lat), dtype), mesh)
@@ -390,7 +398,8 @@ def multichannel_sample(channels, flows, params, states, matrix_element,
 def multichannel_unweight(channels, flows, params, states, matrix_element,
                           E_cm, key, alphas, n_events,
                           batch_per_channel=1 << 15, w_max=None,
-                          wmax_quantile=1.0, max_batches=1000, **kw):
+                          wmax_quantile=1.0, max_batches=1000,
+                          per_channel_max=False, **kw):
     """Unweighted event generation from the learned mixture (host loop).
 
     Strata are equal-size (fixed shapes), so channel k's proposals are
@@ -402,9 +411,27 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
     accepted unconditionally and counted, standard practice — see
     training/unweight.py for the single-flow analogue).
 
+    ``per_channel_max=True`` switches to per-channel maxima (the
+    MadGraph-style multi-channel unweighting the reference lacks; the
+    reference has no unweighting OR channels at all): channel k's
+    proposals accept with probability ``w / w_max_k`` and the number of
+    proposals per channel is allocated ``∝ alpha_k * w_max_k`` by a
+    deterministic credit scheduler.  The accepted density from channel k
+    is then ``∝ alpha_k w_max_k · q_k(x) · w(x)/w_max_k
+    = alpha_k q_k(x) f(x)/q_hat(x)``, which sums over channels to
+    exactly f(x) — unbiased regardless of any per-channel cross-section
+    estimate.  Efficiency becomes ``sigma / sum_k alpha_k w_max_k``
+    instead of ``sigma / (C·max_k alpha_k w_max_k)`` — up to C× better
+    when one channel's tail dominates the global max.
+
     Returns ``(events [>= n_events, n_particles, 4] COM momenta,
     xb [n, 2], efficiency, n_overweight)``.
     """
+    if per_channel_max:
+        return _unweight_per_channel_max(
+            channels, flows, params, states, matrix_element, E_cm, key,
+            alphas, n_events, batch_per_channel, w_max, wmax_quantile,
+            max_batches, **kw)
     C = len(channels)
     alphas = jnp.asarray(alphas)
 
@@ -446,6 +473,86 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
     xbs = np.concatenate(out_xb, axis=0)
     # efficiency = E[v]/w_max over all proposals
     eff = v_sum / max(n_prop, 1) / w_max
+    return events, xbs, eff, n_over
+
+
+def _unweight_per_channel_max(channels, flows, params, states,
+                              matrix_element, E_cm, key, alphas, n_events,
+                              batch_per_channel, w_max, wmax_quantile,
+                              max_batches, **kw):
+    """Per-channel-max unweighting (see :func:`multichannel_unweight`).
+
+    ``w_max`` may be a length-C sequence of per-channel bounds; when
+    absent each channel's bound comes from one pilot batch (max or
+    ``wmax_quantile``).  Scheduling: each outer iteration adds
+    ``alpha_k w_max_k / max_j(alpha_j w_max_j)`` batches of credit to
+    channel k and runs it once per whole credit — proposal counts
+    converge to the exact ``∝ alpha_k w_max_k`` allocation while every
+    dispatch keeps the fixed ``[batch_per_channel]`` shape.
+    """
+    C = len(channels)
+    alphas = jnp.asarray(alphas)
+    B = batch_per_channel
+
+    def make_batch(k):
+        def fn(kk):
+            k_w, k_u = jax.random.split(kk)
+            w, aux = mixture_weights(
+                channels, flows, params, states, matrix_element, E_cm,
+                k_w, B, alphas, with_kinematics=True, only_channel=k, **kw)
+            u = jax.random.uniform(k_u, (B,), dtype=w.dtype)
+            return w[0], u, aux["momenta"][0], aux["xb"][0]
+        return jax.jit(fn)
+
+    batch_jits = [make_batch(k) for k in range(C)]
+
+    if w_max is None:
+        wmk = []
+        for k in range(C):
+            key, sub = jax.random.split(key)
+            v, _, _, _ = batch_jits[k](sub)
+            ref = jnp.max(v) if wmax_quantile >= 1.0 \
+                else jnp.quantile(v, wmax_quantile)
+            wmk.append(float(ref) * 1.05)
+        w_max = np.asarray(wmk)
+    else:
+        w_max = np.broadcast_to(np.asarray(w_max, np.float64),
+                                (C,)).copy()
+    if np.any(w_max <= 0):
+        raise ValueError(f"per-channel w_max must be positive: {w_max}")
+
+    rate = np.asarray(alphas, np.float64) * w_max
+    rate = rate / rate.max()
+
+    out_ev, out_xb = [], []
+    credits = np.zeros(C)
+    n_acc, n_prop, n_over, w_sum = 0, 0, 0, np.zeros(C)
+    n_prop_k = np.zeros(C, np.int64)
+    for _ in range(max_batches):
+        credits += rate
+        for k in range(C):
+            while credits[k] >= 1.0 and n_acc < n_events:
+                credits[k] -= 1.0
+                key, sub = jax.random.split(key)
+                w, u, mom, xb = batch_jits[k](sub)
+                acc = np.asarray(u * w_max[k] < w)
+                out_ev.append(np.asarray(mom)[acc])
+                out_xb.append(np.asarray(xb)[acc])
+                n_acc += int(acc.sum())
+                n_prop += B
+                n_prop_k[k] += B
+                n_over += int(np.asarray(jnp.sum(w > w_max[k])))
+                w_sum[k] += float(jnp.sum(w))
+        if n_acc >= n_events:
+            break
+    events = np.concatenate(out_ev, axis=0)
+    xbs = np.concatenate(out_xb, axis=0)
+    # efficiency = sigma / sum_k alpha_k w_max_k, sigma estimated from the
+    # proposals themselves (channels that ran): sigma = sum alpha_k E_k[w]
+    ran = n_prop_k > 0
+    sigma = float(np.sum(np.asarray(alphas)[ran] * w_sum[ran]
+                         / n_prop_k[ran]))
+    eff = sigma / float(np.sum(np.asarray(alphas) * w_max))
     return events, xbs, eff, n_over
 
 

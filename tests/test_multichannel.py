@@ -219,6 +219,62 @@ def test_multichannel_unweighting(channels):
     np.testing.assert_allclose(tot, 0.0, atol=1e-6)
 
 
+def test_multichannel_unweighting_per_channel_max(channels):
+    """Per-channel-max unweighting: the accepted distribution still
+    matches the weighted expectation (exactness does not depend on
+    per-channel cross-section estimates) and the efficiency beats the
+    global-max scheme (bounded by ``C*max(a_k w_k)/sum(a_k w_k)``)."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    alphas = jnp.asarray([0.6, 0.4])
+
+    w, aux = jax.jit(lambda p: mc.mixture_weights(
+        channels, flows, p, ss, me_competing, E, jax.random.PRNGKey(11),
+        1 << 14, alphas, with_kinematics=True))(ps)
+    mom = aux["momenta"]
+
+    def z_frac(momenta):
+        s01 = np.asarray(pair_mass2(momenta, 0, 1))
+        return np.abs(np.sqrt(np.maximum(s01, 0.0)) - MZ) < 5 * GZ
+
+    ind = z_frac(mom.reshape(-1, mom.shape[2], 4)).reshape(w.shape)
+    wA = np.asarray(w) * ind
+    num = float(jnp.sum(alphas * jnp.asarray(wA).mean(axis=1)))
+    den = float(jnp.sum(alphas * jnp.mean(w, axis=1)))
+    frac_weighted = num / den
+
+    ev_g, _, eff_g, _ = mc.multichannel_unweight(
+        channels, flows, ps, ss, me_competing, E, jax.random.PRNGKey(12),
+        alphas, n_events=3000, batch_per_channel=4096,
+        wmax_quantile=0.9999)
+    events, xbs, eff, n_over = mc.multichannel_unweight(
+        channels, flows, ps, ss, me_competing, E, jax.random.PRNGKey(12),
+        alphas, n_events=3000, batch_per_channel=4096,
+        wmax_quantile=0.9999, per_channel_max=True)
+    assert len(events) >= 3000
+    assert 0.0 < eff <= 1.0
+    assert xbs.shape == (len(events), 2)
+    # the whole point: per-channel maxima never lose to the global max
+    # (identical quantile policy; small slack for pilot-batch noise)
+    assert eff >= 0.9 * eff_g
+    frac_unweighted = z_frac(jnp.asarray(events)).mean()
+    sigma = np.sqrt(frac_weighted * (1 - frac_weighted) / len(events)) \
+        + 0.01
+    assert abs(frac_unweighted - frac_weighted) < 6 * sigma
+    tot = np.asarray(events[:, 2:, :].sum(axis=1)
+                     - events[:, :2, :].sum(axis=1))
+    np.testing.assert_allclose(tot, 0.0, atol=1e-6)
+    # only_channel restriction agrees with the stratified path per source
+    w1, aux1 = jax.jit(lambda p: mc.mixture_weights(
+        channels, flows, p, ss, me_competing, E, jax.random.PRNGKey(11),
+        1 << 12, alphas, only_channel=1))(ps)
+    w_all, _ = jax.jit(lambda p: mc.mixture_weights(
+        channels, flows, p, ss, me_competing, E, jax.random.PRNGKey(11),
+        1 << 12, alphas))(ps)
+    np.testing.assert_allclose(np.asarray(w1[0]), np.asarray(w_all[1]),
+                               rtol=1e-12)
+
+
 def test_multichannel_minibatch_accumulation(channels):
     """mini_batch_per_channel bounds backward memory by scanning
     minibatches within the epoch: the estimator stays unbiased (epoch
