@@ -420,9 +420,16 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
     is then ``∝ alpha_k w_max_k · q_k(x) · w(x)/w_max_k
     = alpha_k q_k(x) f(x)/q_hat(x)``, which sums over channels to
     exactly f(x) — unbiased regardless of any per-channel cross-section
-    estimate.  Efficiency becomes ``sigma / sum_k alpha_k w_max_k``
-    instead of ``sigma / (C·max_k alpha_k w_max_k)`` — up to C× better
-    when one channel's tail dominates the global max.
+    estimate, and efficiency ``sigma / sum_k alpha_k w_max_k``.  Note
+    the global scheme is itself the special allocation
+    ``w_max_k = w_max / (C alpha_k)`` (equalized contributions), so the
+    win comes from choosing BETTER thresholds: with true maxima
+    (``wmax_quantile=1``) per-channel bounds are never worse; with a
+    truncation quantile the pilot's overweight budget is allocated
+    across channels by a greedy knapsack that minimizes
+    ``sum_k alpha_k w_max_k`` (measured to beat both the naive
+    per-channel quantile AND the global scheme — see
+    docs/PERFORMANCE.md).
 
     Returns ``(events [>= n_events, n_particles, 4] COM momenta,
     xb [n, 2], efficiency, n_overweight)``.
@@ -483,12 +490,21 @@ def _unweight_per_channel_max(channels, flows, params, states,
     """Per-channel-max unweighting (see :func:`multichannel_unweight`).
 
     ``w_max`` may be a length-C sequence of per-channel bounds; when
-    absent each channel's bound comes from one pilot batch (max or
-    ``wmax_quantile``).  Scheduling: each outer iteration adds
-    ``alpha_k w_max_k / max_j(alpha_j w_max_j)`` batches of credit to
-    channel k and runs it once per whole credit — proposal counts
-    converge to the exact ``∝ alpha_k w_max_k`` allocation while every
-    dispatch keeps the fixed ``[batch_per_channel]`` shape.
+    absent the bounds come from one pilot batch per channel: the true
+    pilot maxima at ``wmax_quantile=1``, else a GREEDY knapsack over the
+    pooled pilot order statistics — repeatedly lower the threshold of
+    whichever channel buys the largest ``alpha_k * delta(w_max_k)`` per
+    unit of expected overweight rate, until the total expected
+    overweight fraction of proposals reaches ``1 - wmax_quantile``.
+    (The naive per-channel quantile is measurably WORSE than even the
+    global scheme here: the pooled-v quantile already concentrates the
+    overweight budget on the heaviest tail.)  Scheduling: each batch's
+    source channel is drawn i.i.d. with probability
+    ``∝ alpha_k w_max_k`` — i.i.d. batches keep the accepted sample
+    exactly f-distributed under ANY stopping rule (a deterministic
+    round-robin would bias the last, truncated round toward the channels
+    scheduled first), while every dispatch keeps the fixed
+    ``[batch_per_channel]`` shape.
     """
     C = len(channels)
     alphas = jnp.asarray(alphas)
@@ -507,14 +523,38 @@ def _unweight_per_channel_max(channels, flows, params, states,
     batch_jits = [make_batch(k) for k in range(C)]
 
     if w_max is None:
-        wmk = []
+        pilots = []
         for k in range(C):
             key, sub = jax.random.split(key)
             v, _, _, _ = batch_jits[k](sub)
-            ref = jnp.max(v) if wmax_quantile >= 1.0 \
-                else jnp.quantile(v, wmax_quantile)
-            wmk.append(float(ref) * 1.05)
-        w_max = np.asarray(wmk)
+            pilots.append(np.sort(np.asarray(v))[::-1])
+        a_np = np.asarray(alphas, np.float64)
+        t = np.array([p[0] for p in pilots])
+        cuts = np.zeros(C, np.int64)
+        eps = 1.0 - float(wmax_quantile)
+        cap = max(int(B * max(eps, 1e-6) * 100), 10)
+        while eps > 0:
+            shares = a_np * t
+            shares = shares / shares.sum()
+            frac = float(np.sum(shares * cuts / B))
+            best, best_gain = -1, 0.0
+            for k in range(C):
+                if cuts[k] + 1 >= min(cap, B):
+                    continue
+                if frac + shares[k] / B > eps:
+                    continue
+                # gain per unit overweight rate: cutting channel k's next
+                # order statistic lowers sum alpha_j w_max_j by
+                # alpha_k * (t_k - next) at ~shares_k/B extra overweight
+                gain = a_np[k] * (t[k] - pilots[k][cuts[k] + 1]) \
+                    / (shares[k] / B)
+                if gain > best_gain:
+                    best_gain, best = gain, k
+            if best < 0:
+                break
+            cuts[best] += 1
+            t[best] = pilots[best][cuts[best]]
+        w_max = t * 1.05
     else:
         w_max = np.broadcast_to(np.asarray(w_max, np.float64),
                                 (C,)).copy()
@@ -522,27 +562,26 @@ def _unweight_per_channel_max(channels, flows, params, states,
         raise ValueError(f"per-channel w_max must be positive: {w_max}")
 
     rate = np.asarray(alphas, np.float64) * w_max
-    rate = rate / rate.max()
+    p_src = rate / rate.sum()
+    key, sub = jax.random.split(key)
+    host_rng = np.random.default_rng(
+        int(jax.random.randint(sub, (), 0, np.iinfo(np.int32).max)))
 
     out_ev, out_xb = [], []
-    credits = np.zeros(C)
     n_acc, n_prop, n_over, w_sum = 0, 0, 0, np.zeros(C)
     n_prop_k = np.zeros(C, np.int64)
     for _ in range(max_batches):
-        credits += rate
-        for k in range(C):
-            while credits[k] >= 1.0 and n_acc < n_events:
-                credits[k] -= 1.0
-                key, sub = jax.random.split(key)
-                w, u, mom, xb = batch_jits[k](sub)
-                acc = np.asarray(u * w_max[k] < w)
-                out_ev.append(np.asarray(mom)[acc])
-                out_xb.append(np.asarray(xb)[acc])
-                n_acc += int(acc.sum())
-                n_prop += B
-                n_prop_k[k] += B
-                n_over += int(np.asarray(jnp.sum(w > w_max[k])))
-                w_sum[k] += float(jnp.sum(w))
+        k = int(host_rng.choice(C, p=p_src))
+        key, sub = jax.random.split(key)
+        w, u, mom, xb = batch_jits[k](sub)
+        acc = np.asarray(u * w_max[k] < w)
+        out_ev.append(np.asarray(mom)[acc])
+        out_xb.append(np.asarray(xb)[acc])
+        n_acc += int(acc.sum())
+        n_prop += B
+        n_prop_k[k] += B
+        n_over += int(np.asarray(jnp.sum(w > w_max[k])))
+        w_sum[k] += float(jnp.sum(w))
         if n_acc >= n_events:
             break
     events = np.concatenate(out_ev, axis=0)

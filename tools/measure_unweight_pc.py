@@ -51,18 +51,31 @@ def main():
 
     flows, ps, ss = mcl.build_channel_flows(
         jax.random.PRNGKey(0), channels, 4, 16, [32] * 2, final_rank=4)
-    t0 = time.time()
-    out = mcl.train_multichannel(
-        channels, flows, ps, ss, matrix_element, E_COLLIDER,
-        optimizers.adamax(5e-3, 1e-4), jax.random.PRNGKey(3),
-        alphas=[0.7, 0.3], batch_per_channel=args.batch,
-        epochs=args.epochs, loss_mode="kl",
-        mini_batch_per_channel=min(args.batch, 1 << 16),
-        epochs_per_call=args.epochs // 10 if args.epochs % 10 == 0
-        else None, **CUTS)
-    print(f"train {time.time() - t0:.0f}s  best_ess "
-          f"{out['best_ess']:.4%}  alphas {out['best_alphas'].round(3)}",
-          flush=True)
+    cache = f"/tmp/zz_mc_params_{args.epochs}_{args.batch}.pkl"
+    if os.path.exists(cache):
+        import pickle
+        with open(cache, "rb") as fh:
+            out = pickle.load(fh)
+        print(f"loaded cached params ({cache}): best_ess "
+              f"{out['best_ess']:.4%}", flush=True)
+    else:
+        t0 = time.time()
+        out = mcl.train_multichannel(
+            channels, flows, ps, ss, matrix_element, E_COLLIDER,
+            optimizers.adamax(5e-3, 1e-4), jax.random.PRNGKey(3),
+            alphas=[0.7, 0.3], batch_per_channel=args.batch,
+            epochs=args.epochs, loss_mode="kl",
+            mini_batch_per_channel=min(args.batch, 1 << 16),
+            epochs_per_call=args.epochs // 10 if args.epochs % 10 == 0
+            else None, **CUTS)
+        print(f"train {time.time() - t0:.0f}s  best_ess "
+              f"{out['best_ess']:.4%}  alphas "
+              f"{out['best_alphas'].round(3)}", flush=True)
+        import pickle
+        out_h = dict(out)
+        out_h["best_params"] = jax.device_get(out["best_params"])
+        with open(cache, "wb") as fh:
+            pickle.dump(out_h, fh)
 
     for tag, pc in (("global-max", False), ("per-channel-max", True)):
         t0 = time.time()
