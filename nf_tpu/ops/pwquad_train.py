@@ -22,9 +22,10 @@ for the opt-in stale-statistics BN trainer variant:
     (:func:`folded_forward_ref`) is pinned by tests/test_train_kernel.py
     in interpret mode.
 
-Scope (v1): pwquad cells only (the reference's production architecture and
-both bench configs); roll/gather/scatter ops supported; ``final_rank``
-factored conditioners and both positivity activations supported.
+Scope: all three cell kinds — pwquad, pwlin, and affine — including masked
+(gather/scatter) and rolled plans, ``final_rank`` factored conditioners and
+both positivity activations; gradient equality vs autodiff is pinned for
+every kind in tests/test_train_kernel.py.
 """
 
 from __future__ import annotations
@@ -554,8 +555,14 @@ def _apply_perm_bwd(xbar, op, n_flow):
 # ---------------------------------------------------------------------------
 
 def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB,
-                        with_stats=False):
+                        with_stats=False, skip_dw=False):
     """Compile the fused (fwd, bwd) training passes.
+
+    ``skip_dw=True`` is a MEASUREMENT-ONLY variant: the backward runs the
+    full transform VJP and input-cotangent chain but skips the dW/db
+    accumulation (grad rows stay zero), isolating the dW-accumulation
+    term of the cost model (docs/TRAIN_KERNEL.md) so its bound is
+    measured rather than estimated.  Never use it for actual training.
 
     fwd(flat_folded, latents [n, n_flow]) ->
         (x [n, n_flow], jac [n], stage [n_cells, n_flow, n_pad])
@@ -746,17 +753,18 @@ def build_train_kernels(flow, meta, interpret=False, tile_sub=TRAIN_SUB,
                 if relu:
                     r = [r[o] * (h_out[o] > 0.0).astype(jnp.float32)
                          for o in range(fan_out)]
-                base = layer_row[li]
-                for i in range(fan_in):
+                if not skip_dw:
+                    base = layer_row[li]
+                    for i in range(fan_in):
+                        for o in range(fan_out):
+                            contrib = jnp.sum(h_in[i] * r[o], axis=0,
+                                              keepdims=True)
+                            idx = base + i * fan_out + o
+                            grad_out[idx] = grad_out[idx] + contrib[0]
+                    bbase = base + fan_in * fan_out
                     for o in range(fan_out):
-                        contrib = jnp.sum(h_in[i] * r[o], axis=0,
-                                          keepdims=True)
-                        idx = base + i * fan_out + o
-                        grad_out[idx] = grad_out[idx] + contrib[0]
-                bbase = base + fan_in * fan_out
-                for o in range(fan_out):
-                    contrib = jnp.sum(r[o], axis=0, keepdims=True)
-                    grad_out[bbase + o] = grad_out[bbase + o] + contrib[0]
+                        contrib = jnp.sum(r[o], axis=0, keepdims=True)
+                        grad_out[bbase + o] = grad_out[bbase + o] + contrib[0]
                 r = [sum(r[o] * w_ref[i, o] for o in range(fan_out))
                      for i in range(fan_in)]
             xbar = [xbar[i] + r[i] for i in range(pt)] + new_tail_bar

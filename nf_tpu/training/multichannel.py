@@ -43,6 +43,8 @@ examples/zz_multichannel.py.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -399,7 +401,8 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
                           E_cm, key, alphas, n_events,
                           batch_per_channel=1 << 15, w_max=None,
                           wmax_quantile=1.0, max_batches=1000,
-                          per_channel_max=False, **kw):
+                          per_channel_max=False, partial_unweight=False,
+                          **kw):
     """Unweighted event generation from the learned mixture (host loop).
 
     Strata are equal-size (fixed shapes), so channel k's proposals are
@@ -411,12 +414,32 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
     accepted unconditionally and counted, standard practice — see
     training/unweight.py for the single-flow analogue).
 
+    ``partial_unweight=True`` switches to PARTIAL unweighting (the
+    MadGraph/MadNIS overweight treatment): acceptance is unchanged, but
+    every accepted event carries the weight ``max(1, v/w_max)`` — the
+    weighted accepted sample is then EXACTLY f-distributed at ANY
+    ``wmax_quantile`` (the plain mode's overweight truncation bias
+    disappears; only the weight spread changes).  The return becomes
+    ``(events, xb, weights, info)`` with ``info = {"eff", "accept_rate",
+    "n_overweight", "w_max"}``; ``eff`` is the Kish effective efficiency
+    ``(sum w)^2 / sum w^2 / n_proposals``, which interpolates from the
+    standard unweighting efficiency (quantile 1) up toward the mixture
+    ESS fraction as the quantile drops — lowering the quantile buys
+    effective events at the price of a heavier carried-weight tail.
+    Composes with ``per_channel_max`` (carried weight
+    ``max(1, w/w_max_k)``; scheduling then switches from i.i.d. batches
+    to thinned all-channel rounds — see :func:`_unweight_per_channel_max`
+    — because partial mode's high acceptance leaves too few batches for
+    the i.i.d. schedule's per-batch channel granularity).
+
     ``per_channel_max=True`` switches to per-channel maxima (the
     MadGraph-style multi-channel unweighting the reference lacks; the
     reference has no unweighting OR channels at all): channel k's
-    proposals accept with probability ``w / w_max_k`` and the number of
-    proposals per channel is allocated ``∝ alpha_k * w_max_k`` by a
-    deterministic credit scheduler.  The accepted density from channel k
+    proposals accept with probability ``w / w_max_k`` and each batch's
+    source channel is drawn i.i.d. with probability
+    ``∝ alpha_k * w_max_k`` (i.i.d. scheduling keeps the accepted sample
+    exactly f-distributed under any stopping rule — see
+    :func:`_unweight_per_channel_max`).  The accepted density from channel k
     is then ``∝ alpha_k w_max_k · q_k(x) · w(x)/w_max_k
     = alpha_k q_k(x) f(x)/q_hat(x)``, which sums over channels to
     exactly f(x) — unbiased regardless of any per-channel cross-section
@@ -438,7 +461,7 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
         return _unweight_per_channel_max(
             channels, flows, params, states, matrix_element, E_cm, key,
             alphas, n_events, batch_per_channel, w_max, wmax_quantile,
-            max_batches, **kw)
+            max_batches, partial_unweight=partial_unweight, **kw)
     C = len(channels)
     alphas = jnp.asarray(alphas)
 
@@ -461,15 +484,17 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
             else jnp.quantile(v, wmax_quantile)
         w_max = float(ref) * 1.05
 
-    out_ev, out_xb = [], []
+    out_ev, out_xb, out_w = [], [], []
     n_acc, n_prop, n_over, v_sum = 0, 0, 0, 0.0
     for _ in range(max_batches):
         key, sub = jax.random.split(key)
         v, u, mom, xb = batch_jit(sub)
-        acc = np.asarray(u * w_max < v)
-        out_ev.append(np.asarray(mom).reshape(-1, mom.shape[2], 4)
-                      [acc.reshape(-1)])
-        out_xb.append(np.asarray(xb).reshape(-1, 2)[acc.reshape(-1)])
+        acc = np.asarray(u * w_max < v).reshape(-1)
+        out_ev.append(np.asarray(mom).reshape(-1, mom.shape[2], 4)[acc])
+        out_xb.append(np.asarray(xb).reshape(-1, 2)[acc])
+        if partial_unweight:
+            out_w.append(np.maximum(
+                1.0, np.asarray(v).reshape(-1)[acc] / w_max))
         n_acc += int(acc.sum())
         n_prop += acc.size
         n_over += int(np.asarray(jnp.sum(v > w_max)))
@@ -478,6 +503,13 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
             break
     events = np.concatenate(out_ev, axis=0)
     xbs = np.concatenate(out_xb, axis=0)
+    if partial_unweight:
+        wts = np.concatenate(out_w, axis=0)
+        kish = float(wts.sum()) ** 2 / max(float((wts ** 2).sum()), 1e-300)
+        info = {"eff": kish / max(n_prop, 1),
+                "accept_rate": n_acc / max(n_prop, 1),
+                "n_overweight": n_over, "w_max": float(w_max)}
+        return events, xbs, wts, info
     # efficiency = E[v]/w_max over all proposals
     eff = v_sum / max(n_prop, 1) / w_max
     return events, xbs, eff, n_over
@@ -486,7 +518,7 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
 def _unweight_per_channel_max(channels, flows, params, states,
                               matrix_element, E_cm, key, alphas, n_events,
                               batch_per_channel, w_max, wmax_quantile,
-                              max_batches, **kw):
+                              max_batches, partial_unweight=False, **kw):
     """Per-channel-max unweighting (see :func:`multichannel_unweight`).
 
     ``w_max`` may be a length-C sequence of per-channel bounds; when
@@ -505,6 +537,23 @@ def _unweight_per_channel_max(channels, flows, params, states,
     round-robin would bias the last, truncated round toward the channels
     scheduled first), while every dispatch keeps the fixed
     ``[batch_per_channel]`` shape.
+
+    Small-budget degeneration: the knapsack's per-cut cost is
+    ``shares_k / B`` of overweight rate, so when
+    ``1 - wmax_quantile < min_k(shares_k) / B`` (small pilot batches or
+    very tight quantiles) NO cut fits the budget and the thresholds
+    silently degenerate to the strict pilot maxima — which can be much
+    less efficient than the global pooled-quantile scheme at the same
+    nominal quantile.  A warning is logged when that happens.
+
+    Channels whose pilot maximum is 0 (e.g. every proposal fails cuts)
+    are excluded from the schedule (``p_src[k] = 0``) and from the
+    ``sum_k alpha_k w_max_k`` normalization instead of aborting; the
+    accepted mixture is still exactly f-distributed because such a
+    channel contributes nothing to f through its alpha-weighted density
+    estimate ONLY if its true maximum is 0 — a pilot that merely missed
+    the support under-covers that channel, so the pilot batch should be
+    enlarged in that case (the warning names the dead channels).
     """
     C = len(channels)
     alphas = jnp.asarray(alphas)
@@ -522,12 +571,21 @@ def _unweight_per_channel_max(channels, flows, params, states,
 
     batch_jits = [make_batch(k) for k in range(C)]
 
+    # sigma accumulators: pilot batches (when run) are folded in so every
+    # channel contributes to the efficiency's sigma estimate even if it
+    # never receives a generation batch (ADVICE r4)
+    w_sum = np.zeros(C)
+    n_prop_k = np.zeros(C, np.int64)
+
     if w_max is None:
         pilots = []
         for k in range(C):
             key, sub = jax.random.split(key)
             v, _, _, _ = batch_jits[k](sub)
-            pilots.append(np.sort(np.asarray(v))[::-1])
+            v_np = np.asarray(v)
+            w_sum[k] += float(v_np.sum())
+            n_prop_k[k] += B
+            pilots.append(np.sort(v_np)[::-1])
         a_np = np.asarray(alphas, np.float64)
         t = np.array([p[0] for p in pilots])
         cuts = np.zeros(C, np.int64)
@@ -535,11 +593,12 @@ def _unweight_per_channel_max(channels, flows, params, states,
         cap = max(int(B * max(eps, 1e-6) * 100), 10)
         while eps > 0:
             shares = a_np * t
+            live = shares > 0
             shares = shares / shares.sum()
             frac = float(np.sum(shares * cuts / B))
             best, best_gain = -1, 0.0
             for k in range(C):
-                if cuts[k] + 1 >= min(cap, B):
+                if not live[k] or cuts[k] + 1 >= min(cap, B):
                     continue
                 if frac + shares[k] / B > eps:
                     continue
@@ -554,12 +613,28 @@ def _unweight_per_channel_max(channels, flows, params, states,
                 break
             cuts[best] += 1
             t[best] = pilots[best][cuts[best]]
+        if eps > 0 and not cuts.any():
+            warnings.warn(
+                "per-channel knapsack made zero cuts (budget "
+                f"1-q={eps:.2e} < min share/B): thresholds degenerate to "
+                "the strict pilot maxima; consider a larger "
+                "batch_per_channel or a looser wmax_quantile",
+                stacklevel=2)
         w_max = t * 1.05
     else:
         w_max = np.broadcast_to(np.asarray(w_max, np.float64),
                                 (C,)).copy()
-    if np.any(w_max <= 0):
-        raise ValueError(f"per-channel w_max must be positive: {w_max}")
+    if np.any(w_max < 0):
+        raise ValueError(f"per-channel w_max must be non-negative: {w_max}")
+    if np.all(w_max == 0):
+        raise ValueError("all per-channel maxima are 0 — every pilot "
+                         "proposal failed cuts in every channel")
+    if np.any(w_max == 0):
+        warnings.warn(
+            "channels with zero pilot maximum excluded from the "
+            f"schedule: {np.flatnonzero(w_max == 0).tolist()} — enlarge "
+            "batch_per_channel if their true maxima are nonzero",
+            stacklevel=2)
 
     rate = np.asarray(alphas, np.float64) * w_max
     p_src = rate / rate.sum()
@@ -567,9 +642,49 @@ def _unweight_per_channel_max(channels, flows, params, states,
     host_rng = np.random.default_rng(
         int(jax.random.randint(sub, (), 0, np.iinfo(np.int32).max)))
 
-    out_ev, out_xb = [], []
-    n_acc, n_prop, n_over, w_sum = 0, 0, 0, np.zeros(C)
-    n_prop_k = np.zeros(C, np.int64)
+    out_ev, out_xb, out_w = [], [], []
+    n_acc, n_prop, n_over = 0, 0, 0
+    if partial_unweight:
+        # Partial mode routinely runs at HIGH acceptance (aggressive
+        # quantiles), so very few batches are drawn and the i.i.d. batch
+        # schedule's per-batch channel granularity would dominate the
+        # output composition.  Instead run EVERY live channel each round
+        # and thin channel k by a_k = rate_k / max(rate): the accepted
+        # weighted density from channel k is
+        # q_k * a_k * min(1, w/w_max_k) * max(1, w/w_max_k)
+        #   = q_k * a_k * w/w_max_k  ∝  alpha_k q_k f / q_hat,
+        # summing to exactly f — with the cross-channel composition exact
+        # per round (no scheduling noise), fixed shapes, and unbiasedness
+        # under any stopping rule.  The thinning waste (1 - a_k on
+        # channel k's proposals) is included in the reported efficiency.
+        a_thin = rate / max(rate.max(), 1e-300)
+        live = np.flatnonzero(rate > 0)
+        for _ in range(max_batches):
+            key, sub = jax.random.split(key)
+            subs = jax.random.split(sub, C)
+            for k in live:
+                w, u, mom, xb = batch_jits[k](subs[k])
+                r = np.asarray(w) / w_max[k]
+                acc = np.asarray(u) < a_thin[k] * np.minimum(1.0, r)
+                out_ev.append(np.asarray(mom)[acc])
+                out_xb.append(np.asarray(xb)[acc])
+                out_w.append(np.maximum(1.0, r[acc]))
+                n_acc += int(acc.sum())
+                n_prop += B
+                n_prop_k[k] += B
+                n_over += int((r > 1.0).sum())
+                w_sum[k] += float(np.asarray(w).sum())
+            if n_acc >= n_events:
+                break
+        events = np.concatenate(out_ev, axis=0)
+        xbs = np.concatenate(out_xb, axis=0)
+        wts = np.concatenate(out_w, axis=0)
+        kish = float(wts.sum()) ** 2 / max(float((wts ** 2).sum()), 1e-300)
+        info = {"eff": kish / max(n_prop, 1),
+                "accept_rate": n_acc / max(n_prop, 1),
+                "n_overweight": n_over, "w_max": np.asarray(w_max)}
+        return events, xbs, wts, info
+
     for _ in range(max_batches):
         k = int(host_rng.choice(C, p=p_src))
         key, sub = jax.random.split(key)
@@ -587,7 +702,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
     events = np.concatenate(out_ev, axis=0)
     xbs = np.concatenate(out_xb, axis=0)
     # efficiency = sigma / sum_k alpha_k w_max_k, sigma estimated from the
-    # proposals themselves (channels that ran): sigma = sum alpha_k E_k[w]
+    # proposals themselves incl. pilot batches: sigma = sum alpha_k E_k[w]
     ran = n_prop_k > 0
     sigma = float(np.sum(np.asarray(alphas)[ran] * w_sum[ran]
                          / n_prop_k[ran]))

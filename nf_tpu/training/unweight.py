@@ -55,13 +55,15 @@ def estimate_wmax(flow, params, state, f, key, n=100_000, train=False,
 
 
 def unweighted_batch(flow, params, state, f, key, n_proposals, w_max,
-                     train=False, draw=None):
+                     train=False, draw=None, return_weights=False):
     """One accept-reject pass.
 
     Returns ``(x, accept_mask, n_overweight)``: proposals ``x``
     [n_proposals, n_flow], a boolean acceptance mask, and the count of
     over-weight events (accepted unconditionally; increase ``w_max`` if
-    this is a meaningful fraction).
+    this is a meaningful fraction).  With ``return_weights=True`` a fourth
+    element carries the partial-unweighting event weights
+    ``max(1, w/w_max)`` (see :func:`generate_unweighted`).
     """
     k_w, k_u = jax.random.split(key)
     if draw is None:
@@ -70,12 +72,16 @@ def unweighted_batch(flow, params, state, f, key, n_proposals, w_max,
     weights = f(x) * jacv
     u = jax.random.uniform(k_u, (n_proposals,), dtype=weights.dtype)
     accept = weights > u * w_max
-    return x, accept, jnp.sum(weights > w_max)
+    n_over = jnp.sum(weights > w_max)
+    if return_weights:
+        return x, accept, n_over, jnp.maximum(1.0, weights / w_max)
+    return x, accept, n_over
 
 
 def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
                         train=False, batch=1 << 17, max_batches=1000,
-                        wmax_quantile=1.0, method="auto", mesh=None):
+                        wmax_quantile=1.0, method="auto", mesh=None,
+                        partial_unweight=False):
     """Generate at least ``n_events`` unweighted events (host-driven loop).
 
     Returns ``(events [>=n_events, n_flow], efficiency, n_overweight)``.
@@ -83,6 +89,19 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
     ``method="auto"`` draws proposals through the fused Pallas kernel on
     TPU (eval-mode map) and the stateful forward elsewhere; pass ``None``
     to force the stateful reference-parity path.
+
+    ``partial_unweight=True`` switches to PARTIAL unweighting
+    (MadGraph/MadNIS practice): events are still accepted with probability
+    ``min(1, w/w_max)``, but each accepted event carries the weight
+    ``max(1, w/w_max)`` instead of 1 — the weighted accepted sample is
+    then EXACTLY f-distributed at ANY ``wmax_quantile`` (the plain mode's
+    overweight truncation bias disappears; only the weight spread
+    changes).  The return becomes ``(events, weights, info)`` with
+    ``info = {"eff", "accept_rate", "n_overweight", "w_max"}`` where
+    ``eff`` is the Kish effective efficiency
+    ``(sum w)^2 / sum w^2 / n_proposals`` — it interpolates from the
+    standard unweighting efficiency (quantile 1) up toward the weighted
+    ESS fraction as the quantile drops.
 
     ``mesh`` shards the proposal draw over the mesh's 'dp' axis
     (parallel.sampling.make_dp_sampler); the weight/accept computation
@@ -122,17 +141,29 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
         else _make_draw(flow, params, state, batch, train, method)
     step = jax.jit(partial(unweighted_batch, flow, params, state, f,
                            n_proposals=batch, w_max=w_max, train=train,
-                           draw=draw))
-    out, n_acc, n_prop, n_over = [], 0, 0, 0
+                           draw=draw, return_weights=partial_unweight))
+    out, out_w, n_acc, n_prop, n_over = [], [], 0, 0, 0
     for _ in range(max_batches):
         key, sub = jax.random.split(key)
-        x, accept, over = step(sub)
+        if partial_unweight:
+            x, accept, over, wtilde = step(sub)
+        else:
+            x, accept, over = step(sub)
         acc_np = np.asarray(accept)
         out.append(np.asarray(x)[acc_np])
+        if partial_unweight:
+            out_w.append(np.asarray(wtilde)[acc_np])
         n_acc += int(acc_np.sum())
         n_prop += batch
         n_over += int(over)
         if n_acc >= n_events:
             break
     events = np.concatenate(out, axis=0)
+    if partial_unweight:
+        w_all = np.concatenate(out_w, axis=0)
+        kish = float(w_all.sum()) ** 2 / max(float((w_all ** 2).sum()), 1e-300)
+        info = {"eff": kish / max(n_prop, 1),
+                "accept_rate": n_acc / max(n_prop, 1),
+                "n_overweight": n_over, "w_max": float(w_max)}
+        return events, w_all, info
     return events, n_acc / max(n_prop, 1), n_over

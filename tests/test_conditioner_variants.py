@@ -27,6 +27,7 @@ VARIANTS = [(4, "exp"), (None, "squareplus"), (4, "squareplus")]
 
 
 @pytest.mark.parametrize("final_rank,activation", VARIANTS)
+@pytest.mark.slow
 def test_forward_inverse_folded(final_rank, activation):
     """10-D masked flow: round-trip, inverse Jacobian, folded equality."""
     flow, params, state = factory.build_pwquad_flow(

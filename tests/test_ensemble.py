@@ -92,6 +92,7 @@ def test_ensemble_requires_shared_plan():
         stack_ensemble(init, jax.random.PRNGKey(0), 2)
 
 
+@pytest.mark.slow
 def test_ensemble_grouping_matches_single_call():
     """runs_per_call grouping must not change results (same per-run keys)."""
     flow, p_stack, s_stack = _ensemble(5)
@@ -128,6 +129,7 @@ def test_auto_group_size():
     assert g_small == 8
 
 
+@pytest.mark.slow
 def test_ensemble_auto_grouping_completes_64_runs():
     """A 64-run sweep completes via automatic grouping with the chosen
     group size reported (VERDICT r2 item 6 'Done' criterion; tiny epochs
@@ -146,6 +148,7 @@ def test_ensemble_auto_grouping_completes_64_runs():
     assert np.isfinite(np.asarray(res["best_loss"])).all()
 
 
+@pytest.mark.slow
 def test_adaptive_group_fallback(monkeypatch):
     """A group whose device program dies is retried at half the width; the
     sweep completes with identical results and reports the reduced final

@@ -65,6 +65,7 @@ def _flows_for_inverse():
     ]
 
 
+@pytest.mark.slow
 def test_folded_inverse_roundtrip_and_density():
     from nf_tpu.flows.fast_eval import (
         make_folded_forward, make_folded_inverse, make_density)

@@ -19,6 +19,7 @@ from nf_tpu.flows import factory, model as fmodel
     lambda k: factory.build_pwlin_flow(k, 4, 2, 3, 8, (8, 8), 1, jnp.float64),
     lambda k: factory.build_affine_flow(k, 2, 1, 2, (6,), 1, jnp.float64),
 ])
+@pytest.mark.slow
 def test_roundtrip(build):
     flow, params, state = build(jax.random.PRNGKey(0))
     w = jax.random.uniform(jax.random.PRNGKey(1), (128, flow.n_flow),

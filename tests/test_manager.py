@@ -186,6 +186,7 @@ def test_progress_callback():
         assert np.isfinite(e["loss"])
 
 
+@pytest.mark.slow
 def test_pwlin_manager_trains():
     def gauss4(x):
         return jnp.exp(-jnp.sum((x - 0.5) ** 2, axis=-1) / 0.08)
@@ -252,6 +253,7 @@ def test_kl_loss_mode_trains():
     assert w.mean() ** 2 / (w ** 2).mean() > 0.2
 
 
+@pytest.mark.slow
 def test_sampler_cache_invalidated_on_retrain():
     """Retraining rebinds params; integrate()/sample() must use the NEW
     weights, never a stale compiled sampler, and the cache stays bounded

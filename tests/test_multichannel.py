@@ -79,6 +79,7 @@ def fixed_alpha_reference(channels, me, alphas, n):
     return w.mean(), w.std(ddof=1) / np.sqrt(n)
 
 
+@pytest.mark.slow
 def test_identity_flows_match_fixed_alpha(channels):
     """Fresh (identity) flows: the learned-mixture weights have the same
     integral and ESS as the fixed-alpha combination."""
@@ -99,6 +100,7 @@ def test_identity_flows_match_fixed_alpha(channels):
     np.testing.assert_allclose(r_sum[live], 1.0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_training_improves_ess_and_stays_unbiased(channels):
     flows, ps, ss = mc.build_channel_flows(
         jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
@@ -126,6 +128,7 @@ def test_training_improves_ess_and_stays_unbiased(channels):
     assert float(ess) > 0.5
 
 
+@pytest.mark.slow
 def test_alphas_move_toward_resonant_channel(channels):
     """ME resonant only in channel 1's pairing: Kleiss-Pittau drives
     alpha_1 up from a mis-weighted start."""
@@ -145,6 +148,7 @@ def test_alphas_move_toward_resonant_channel(channels):
     assert a_hist.min() >= 5e-3 * 0.99
 
 
+@pytest.mark.slow
 def test_multichannel_mesh_equivalence(channels):
     """mesh= shards each channel's batch over 'dp' (GSPMD); weights and a
     short training run match the single-device path bit-for-bit (the PRNG
@@ -219,6 +223,7 @@ def test_multichannel_unweighting(channels):
     np.testing.assert_allclose(tot, 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multichannel_unweighting_per_channel_max(channels):
     """Per-channel-max unweighting: the accepted distribution still
     matches the weighted expectation (exactness does not depend on
@@ -246,16 +251,19 @@ def test_multichannel_unweighting_per_channel_max(channels):
     ev_g, _, eff_g, _ = mc.multichannel_unweight(
         channels, flows, ps, ss, me_competing, E, jax.random.PRNGKey(12),
         alphas, n_events=3000, batch_per_channel=4096,
-        wmax_quantile=0.9999)
+        wmax_quantile=1.0)
     events, xbs, eff, n_over = mc.multichannel_unweight(
         channels, flows, ps, ss, me_competing, E, jax.random.PRNGKey(12),
         alphas, n_events=3000, batch_per_channel=4096,
-        wmax_quantile=0.9999, per_channel_max=True)
+        wmax_quantile=1.0, per_channel_max=True)
     assert len(events) >= 3000
     assert 0.0 < eff <= 1.0
     assert xbs.shape == (len(events), 2)
-    # the whole point: per-channel maxima never lose to the global max
-    # (identical quantile policy; small slack for pilot-batch noise)
+    # the whole point: with STRICT pilot maxima (wmax_quantile=1) the
+    # per-channel bounds are never worse than the global max — the
+    # guarantee only holds at q=1 (truncated quantiles can favor the
+    # global pooled budget, see docs/PERFORMANCE.md); small slack for
+    # pilot-batch noise
     assert eff >= 0.9 * eff_g
     frac_unweighted = z_frac(jnp.asarray(events)).mean()
     sigma = np.sqrt(frac_weighted * (1 - frac_weighted) / len(events)) \
@@ -275,6 +283,56 @@ def test_multichannel_unweighting_per_channel_max(channels):
                                rtol=1e-12)
 
 
+@pytest.mark.slow
+def test_multichannel_partial_unweighting(channels):
+    """Partial unweighting (MadGraph/MadNIS overweight treatment): the
+    WEIGHTED accepted sample reproduces the weighted expectation exactly
+    even at an aggressive quantile, weights are >= 1, and the Kish
+    effective efficiency beats the plain accept rate of the same
+    truncated scheme.  Composes with per_channel_max."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    alphas = jnp.asarray([0.6, 0.4])
+
+    w, aux = jax.jit(lambda p: mc.mixture_weights(
+        channels, flows, p, ss, me_competing, E, jax.random.PRNGKey(11),
+        1 << 14, alphas, with_kinematics=True))(ps)
+    mom = aux["momenta"]
+
+    def z_frac(momenta, wts=None):
+        s01 = np.asarray(pair_mass2(momenta, 0, 1))
+        ind = np.abs(np.sqrt(np.maximum(s01, 0.0)) - MZ) < 5 * GZ
+        if wts is None:
+            return ind
+        return float((ind * wts).sum() / wts.sum())
+
+    ind = z_frac(mom.reshape(-1, mom.shape[2], 4)).reshape(w.shape)
+    wA = np.asarray(w) * ind
+    num = float(jnp.sum(alphas * jnp.asarray(wA).mean(axis=1)))
+    den = float(jnp.sum(alphas * jnp.mean(w, axis=1)))
+    frac_weighted = num / den
+
+    for pcm in (False, True):
+        events, xbs, wts, info = mc.multichannel_unweight(
+            channels, flows, ps, ss, me_competing, E,
+            jax.random.PRNGKey(12), alphas, n_events=3000,
+            batch_per_channel=4096, wmax_quantile=0.95,
+            partial_unweight=True, per_channel_max=pcm)
+        assert len(events) == len(wts) >= 3000
+        assert np.all(wts >= 1.0)
+        assert set(info) == {"eff", "accept_rate", "n_overweight", "w_max"}
+        assert 0.0 < info["eff"] <= info["accept_rate"] + 1e-12
+        assert info["n_overweight"] > 0  # the quantile actually truncated
+        # exactness of the WEIGHTED sample at a truncated quantile
+        frac = z_frac(np.asarray(events), wts)
+        sigma = np.sqrt(frac_weighted * (1 - frac_weighted)
+                        / len(events)) + 0.01
+        assert abs(frac - frac_weighted) < 6 * sigma, (pcm, frac,
+                                                       frac_weighted)
+        assert xbs.shape == (len(events), 2)
+
+
+@pytest.mark.slow
 def test_multichannel_minibatch_accumulation(channels):
     """mini_batch_per_channel bounds backward memory by scanning
     minibatches within the epoch: the estimator stays unbiased (epoch
@@ -301,6 +359,7 @@ def test_multichannel_minibatch_accumulation(channels):
             batch_per_channel=4096, mini_batch_per_channel=1000, epochs=2)
 
 
+@pytest.mark.slow
 def test_multichannel_epochs_per_call_exact(channels):
     """Splitting the epoch scan across dispatches reuses one compiled
     program and reproduces the single-dispatch run exactly (same epoch
@@ -327,6 +386,7 @@ def test_multichannel_epochs_per_call_exact(channels):
             batch_per_channel=1024, epochs=5, epochs_per_call=2)
 
 
+@pytest.mark.slow
 def test_multichannel_kl_loss_trains_and_stays_unbiased(channels):
     """The reweighted-KL mode (gradients through the learned mixture
     density) improves mixture ESS and keeps every epoch's integral

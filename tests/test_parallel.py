@@ -72,6 +72,7 @@ def test_sharded_forward_output_sharding():
     assert len(x.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

@@ -124,6 +124,7 @@ def test_rapidity_cut():
     np.testing.assert_array_equal(np.asarray(w_cut) == 0, expected_zero)
 
 
+@pytest.mark.slow
 def test_delta_r_cut():
     gen = FlatInvertiblePhasespace([0.0, 0.0], [0.0] * 3)
     rv = _uniform(jax.random.PRNGKey(6), (1024, 5))

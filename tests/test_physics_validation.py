@@ -176,6 +176,7 @@ def test_pipeline_matches_analytic_sigma(sigma_ref):
         (est / GEV2_TO_PB, sigma_ref / GEV2_TO_PB, err / GEV2_TO_PB)
 
 
+@pytest.mark.slow
 def test_vegas_matches_analytic_sigma(sigma_ref):
     """In-repo jax VEGAS on the identical cube integrand (reference
     baseline protocol, experiment_mgv.py) agrees within errors."""
@@ -188,6 +189,7 @@ def test_vegas_matches_analytic_sigma(sigma_ref):
         (sig / GEV2_TO_PB, sigma_ref / GEV2_TO_PB, err / GEV2_TO_PB)
 
 
+@pytest.mark.slow
 def test_nis_matches_analytic_sigma(sigma_ref):
     """Short NIS training + integrate(combine='mean') on the Drell-Yan
     integrand agrees within errors (the r2 'Done' criterion: NIS, VEGAS

@@ -96,6 +96,7 @@ def test_momentum_conservation_and_onshell():
     assert np.all(np.asarray(wt) >= 0)
 
 
+@pytest.mark.slow
 def test_massive_volume_vs_flat_generator():
     """Same dPhi measure as the flat RAMBO generator on massive finals."""
     masses = [50.0, 50.0, 100.0, 80.0]
@@ -283,6 +284,7 @@ def test_power_map_roundtrip():
                                np.asarray(ds_du), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_identity_init_is_identity():
     """create_model(identity_init=True): the fresh flow is the exact
     identity with J = 1, so composing with a channel map starts at the

@@ -112,6 +112,7 @@ def test_forward_matches_reference(name, build):
 
 
 @pytest.mark.parametrize("name,build", CONFIGS, ids=[c[0] for c in CONFIGS])
+@pytest.mark.slow
 def test_vjp_matches_autodiff(name, build):
     flow, params, state, flat, meta, w = _setup(build, n=384)
     f = ptk.make_fused_train_fn(flow, meta, interpret=True)
@@ -142,6 +143,7 @@ def test_vjp_matches_autodiff(name, build):
                                atol=2e-4 * scale, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_end_to_end_raw_param_grads():
     """Grads w.r.t. RAW params through the differentiable fold equal
     autodiff of the composed frozen-stats jnp path."""

@@ -31,6 +31,7 @@ BUILDS = [
 
 
 @pytest.mark.parametrize("name,build", BUILDS, ids=[b[0] for b in BUILDS])
+@pytest.mark.slow
 def test_forward_t_matches_forward(name, build):
     flow, params, state = build(jax.random.PRNGKey(0))
     w = jax.random.uniform(jax.random.PRNGKey(1), (512, flow.n_flow),
@@ -47,6 +48,7 @@ def test_forward_t_matches_forward(name, build):
                                        atol=1e-12)
 
 
+@pytest.mark.slow
 def test_forward_t_gradient_matches():
     """Variance-loss gradients agree between layouts (the training path)."""
     flow, params, state = factory.build_pwquad_flow(

@@ -6,6 +6,8 @@ import numpy as np
 
 from nf_tpu import PWQuadManager
 from nf_tpu.training import optimizers
+import pytest
+
 from nf_tpu.training.unweight import (
     estimate_wmax, generate_unweighted, unweighted_batch)
 
@@ -15,6 +17,7 @@ def camel(x):
             + jnp.exp(-((x[:, 0] - 0.25) ** 2 + (x[:, 1] - 0.25) ** 2) / 0.04))
 
 
+@pytest.mark.slow
 def test_unweighted_events_follow_target_density():
     NF = PWQuadManager(n_flow=2, seed=0)
     NF.create_model(2, 6, [8] * 2)
@@ -55,6 +58,43 @@ def test_unweighted_events_follow_target_density():
     w_uni = np.asarray(camel(u))
     assert w_is.var() < 0.5 * w_uni.var()
     assert eff > 0.13
+
+
+def test_partial_unweighting_exact_and_more_efficient():
+    """Partial unweighting (MadGraph/MadNIS overweight treatment): accepted
+    events carry max(1, w/w_max), so the weighted sample is exactly
+    f-distributed at ANY quantile — the weighted sum recovers the integral
+    — and the Kish effective efficiency beats strict-max unweighting on a
+    heavy-tailed weight distribution."""
+    NF = PWQuadManager(n_flow=2, seed=2)
+    NF.create_model(2, 4, [4] * 2)  # untrained: heavy-tailed weights
+    params, bn = NF.best_params
+    import math
+    g = 0.2 * (math.sqrt(math.pi) / 2) * (math.erf(0.25 / 0.2)
+                                          + math.erf(0.75 / 0.2))
+    exact = 2 * g * g
+
+    # strict-max baseline
+    _, eff_strict, _ = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(5),
+        n_events=4000, batch=1 << 14, wmax_quantile=1.0)
+
+    events, wts, info = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(5),
+        n_events=4000, batch=1 << 14, wmax_quantile=0.5,
+        partial_unweight=True)
+    assert events.shape[0] == wts.shape[0] >= 4000
+    assert np.all(wts >= 1.0)
+    assert set(info) == {"eff", "accept_rate", "n_overweight", "w_max"}
+    # Kish ESS <= accepted count, so eff <= accept_rate ...
+    assert info["eff"] <= info["accept_rate"] + 1e-12
+    # ... but the EFFECTIVE efficiency beats strict-max unweighting
+    assert info["eff"] > eff_strict
+    # exactness: the weighted acceptance recovers the integral
+    # E[sum w_tilde] * w_max / n_prop = E[w] = integral f
+    n_prop = events.shape[0] / info["accept_rate"]
+    integral = wts.sum() * info["w_max"] / n_prop
+    assert abs(integral - exact) / exact < 0.05
 
 
 def test_wmax_estimate_positive():

@@ -231,6 +231,7 @@ def test_pro_worker_optional_knobs(tmp_path):
     assert tup[3] == 2 * 400 * 2 + 6 * 400
 
 
+@pytest.mark.slow
 def test_run_sweep_process_mode(tmp_path, monkeypatch):
     """mode='process' reproduces the reference's actual fan-out mechanism
     (OS processes + a multiprocessing queue, experiment_mg.py:85-87).
