@@ -81,7 +81,7 @@ def unweighted_batch(flow, params, state, f, key, n_proposals, w_max,
 def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
                         train=False, batch=1 << 17, max_batches=1000,
                         wmax_quantile=1.0, method="auto", mesh=None,
-                        partial_unweight=False):
+                        partial_unweight=False, compact="auto"):
     """Generate at least ``n_events`` unweighted events (host-driven loop).
 
     Returns ``(events [>=n_events, n_flow], efficiency, n_overweight)``.
@@ -107,6 +107,23 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
     (parallel.sampling.make_dp_sampler); the weight/accept computation
     consumes the sharded arrays inside the same jit, so XLA keeps f and
     the comparison distributed too.
+
+    ``compact`` gathers the ACCEPTED rows on device (``jnp.nonzero`` with
+    a static capacity sized from the first batch's observed accept rate)
+    so only accepted events cross the device->host boundary — at accept
+    rate a the transfer shrinks ~1/a, which dominates end-to-end
+    unweighted-events/s whenever the device link is the bottleneck
+    (as on this tunnel-attached TPU; see bench.py's unweight stage).
+    Exact: the
+    kept set equals the uncompacted accepted set, except that a batch
+    whose accepts overflow the 1.5x-safety capacity drops the surplus
+    rows (the accepted rows of a batch are exchangeable — iid proposals —
+    so keeping the first-capacity subset leaves the kept sample exactly
+    f-distributed; the dropped rows are counted against efficiency
+    conservatively, and the capacity is doubled for subsequent batches).
+    ``"auto"`` enables it off-mesh (sharded arrays would pay a
+    cross-device gather); an int forces that initial capacity (testing /
+    known accept rates).
     """
     import numpy as np
 
@@ -137,14 +154,58 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
             w_max = estimate_wmax(flow, params, state, f, sub, safety=1.05,
                                   quantile=wmax_quantile, method=method)
 
+    if compact == "auto":
+        compact = mesh is None
     draw = draw_mesh if draw_mesh is not None \
         else _make_draw(flow, params, state, batch, train, method)
     step = jax.jit(partial(unweighted_batch, flow, params, state, f,
                            n_proposals=batch, w_max=w_max, train=train,
                            draw=draw, return_weights=partial_unweight))
+
+    def make_compact_step(capacity):
+        # jnp.nonzero(size=) keeps the FIRST `capacity` accepted indices
+        # (padded with 0 — the host slices [:k] so the pads never leak);
+        # the device->host transfer is `capacity` rows instead of `batch`.
+        def _step(sub):
+            if partial_unweight:
+                x, accept, over, wtilde = unweighted_batch(
+                    flow, params, state, f, sub, n_proposals=batch,
+                    w_max=w_max, train=train, draw=draw,
+                    return_weights=True)
+            else:
+                x, accept, over = unweighted_batch(
+                    flow, params, state, f, sub, n_proposals=batch,
+                    w_max=w_max, train=train, draw=draw)
+                wtilde = None
+            n_true = jnp.sum(accept)
+            idx = jnp.nonzero(accept, size=capacity, fill_value=0)[0]
+            k = jnp.minimum(n_true, capacity)
+            wc = wtilde[idx] if partial_unweight else jnp.zeros((capacity,))
+            return x[idx], wc, k, n_true, over
+        return jax.jit(_step)
+
     out, out_w, n_acc, n_prop, n_over = [], [], 0, 0, 0
-    for _ in range(max_batches):
+    cstep, capacity = None, None
+    if isinstance(compact, int) and not isinstance(compact, bool):
+        capacity = int(min(max(compact, 1), batch))
+        cstep, compact = make_compact_step(capacity), True
+    for i in range(max_batches):
         key, sub = jax.random.split(key)
+        if cstep is not None:
+            xc, wc, k, n_true, over = cstep(sub)
+            k = int(k)
+            out.append(np.asarray(xc)[:k])
+            if partial_unweight:
+                out_w.append(np.asarray(wc)[:k])
+            n_acc += k
+            n_prop += batch
+            n_over += int(over)
+            if int(n_true) > capacity:  # overflow: surplus dropped, grow
+                capacity = min(2 * capacity, batch)
+                cstep = make_compact_step(capacity)
+            if n_acc >= n_events:
+                break
+            continue
         if partial_unweight:
             x, accept, over, wtilde = step(sub)
         else:
@@ -158,6 +219,13 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
         n_over += int(over)
         if n_acc >= n_events:
             break
+        if compact and i == 0:
+            # Size the gather capacity from the observed accept rate with
+            # 1.5x headroom (min 1024 rows so a zero/low first batch does
+            # not pin the capacity at a recompile-thrashing size).
+            rate = max(n_acc / max(n_prop, 1), 1.0 / batch)
+            capacity = int(min(max(1024, 1.5 * rate * batch), batch))
+            cstep = make_compact_step(capacity)
     events = np.concatenate(out, axis=0)
     if partial_unweight:
         w_all = np.concatenate(out_w, axis=0)

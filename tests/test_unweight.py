@@ -97,6 +97,70 @@ def test_partial_unweighting_exact_and_more_efficient():
     assert abs(integral - exact) / exact < 0.05
 
 
+def test_compact_transfer_matches_plain():
+    """Device-side compaction (compact=True) must keep exactly the same
+    accepted events as the plain path when no batch overflows capacity —
+    same RNG stream, bitwise-equal event rows, same efficiency."""
+    NF = PWQuadManager(n_flow=2, seed=3)
+    NF.create_model(2, 4, [4] * 2)
+    params, bn = NF.best_params
+    kw = dict(n_events=3000, batch=1 << 13, wmax_quantile=0.9)
+
+    ev_p, eff_p, over_p = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(7),
+        compact=False, **kw)
+    ev_c, eff_c, over_c = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(7),
+        compact=True, **kw)
+    assert ev_c.shape == ev_p.shape
+    np.testing.assert_array_equal(ev_c, ev_p)
+    assert eff_c == eff_p and over_c == over_p
+
+    # partial mode: weights must match too
+    ev_p, w_p, info_p = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(9),
+        compact=False, partial_unweight=True, **kw)
+    ev_c, w_c, info_c = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(9),
+        compact=True, partial_unweight=True, **kw)
+    np.testing.assert_array_equal(ev_c, ev_p)
+    np.testing.assert_array_equal(w_c, w_p)
+    assert info_c == info_p
+
+
+def test_compact_overflow_drops_surplus_and_grows():
+    """A forced-tiny capacity overflows on every early batch: the kept
+    events are a prefix subset of the plain run's accepts (exchangeable ->
+    still f-distributed), the efficiency accounting is conservative, and
+    the capacity doubles until batches fit."""
+    NF = PWQuadManager(n_flow=2, seed=4)
+    NF.create_model(2, 4, [4] * 2)
+    params, bn = NF.best_params
+    kw = dict(batch=1 << 13, wmax_quantile=0.9)
+
+    # single batch, forced capacity 64 << accepts: the kept rows are
+    # exactly the first 64 accepted rows of the plain run (jnp.nonzero
+    # returns indices in order), and efficiency is conservative
+    ev_p, eff_p, _ = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(11),
+        compact=False, n_events=1, **kw)
+    ev_c, eff_c, _ = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(11),
+        compact=64, n_events=1, **kw)
+    assert ev_p.shape[0] > 64, "need >64 accepts for the overflow regime"
+    assert ev_c.shape[0] == 64
+    np.testing.assert_array_equal(ev_c, ev_p[:64])
+    assert eff_c < eff_p
+
+    # multi-batch: capacity doubles (64 -> 128 -> ...) until the target
+    # count is reached despite every early batch overflowing
+    ev_g, eff_g, _ = generate_unweighted(
+        NF._flow, params, bn, camel, jax.random.PRNGKey(11),
+        compact=64, n_events=500, **kw)
+    assert ev_g.shape[0] >= 500
+    assert eff_g <= eff_p
+
+
 def test_wmax_estimate_positive():
     NF = PWQuadManager(n_flow=2, seed=1)
     NF.create_model(2, 4, [4] * 2)

@@ -21,8 +21,11 @@ Run from /root/repo on TPU:  python tools/measure_dw_bound.py
 
 import json
 import os
+import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import jax
 import jax.numpy as jnp
