@@ -27,6 +27,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,17 +42,21 @@ VPU_PEAK = 3.9e12
 
 
 def paired_step_rate(step, n_per_call, k1=1, k2=5, reps=5):
-    def scanned(K):
-        @jax.jit
-        def run(seed0):
-            def body(acc, i):
-                return acc + step(seed0 + i), None
-            a, _ = jax.lax.scan(body, jnp.float32(0.0),
-                                jnp.arange(K, dtype=jnp.int32))
-            return a
-        return run
-    t1 = time_sampler(scanned(k1), jnp.int32(1), reps=reps)
-    t2 = time_sampler(scanned(k2), jnp.int32(1), reps=reps)
+    """Paired differencing with a DYNAMIC trip count: one while_loop jit
+    serves both K values, so each kernel variant pays exactly ONE remote
+    Pallas compile (~500 s in this environment) instead of two — the
+    fixed per-dispatch tunnel cost still cancels in the difference."""
+    @jax.jit
+    def run(seed0, K):
+        def cond(c):
+            return c[0] < K
+        def body(c):
+            i, acc = c
+            return i + 1, acc + step(seed0 + i)
+        return jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.float32(0.0)))[1]
+    t1 = time_sampler(run, jnp.int32(1), jnp.int32(k1), reps=reps)
+    t2 = time_sampler(run, jnp.int32(1), jnp.int32(k2), reps=reps)
     return ((k2 - k1) * n_per_call) / (t2 - t1)
 
 
@@ -97,12 +103,25 @@ def n_params(flow, params, state):
     return n_grad_rows
 
 
+ALL_RANKS = {"dense": None, "rank8": 8, "rank4": 4, "rank2": 2, "rank1": 1}
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    # default ladder: the extremes + the production point — 3 points span
+    # the full param-count range for the regression at ~half the remote
+    # Pallas compiles of the 5-point ladder
+    ap.add_argument("--ranks", default="dense,rank4,rank1")
+    ap.add_argument("--fwd-bwd", action="store_true",
+                    help="also measure the combined fwd+bwd step rate "
+                         "(adds one Pallas compile per rank)")
+    ap.add_argument("--camel", action="store_true",
+                    help="also run the camel-2D control (params ~ free)")
+    args = ap.parse_args()
     out = {"batch": B}
 
     # ---- flagship ladder: dense + ranks, full vs skip_dw backward ----
-    ranks = [("dense", None), ("rank8", 8), ("rank4", 4), ("rank2", 2),
-             ("rank1", 1)]
+    ranks = [(n, ALL_RANKS[n]) for n in args.ranks.split(",")]
     ladder = {}
     for name, rank in ranks:
         flow, p, s = factory.build_pwquad_flow(
@@ -111,14 +130,15 @@ def main():
         P = n_params(flow, p, s)
         full = bwd_only_rate(flow, p, s, skip_dw=False)
         nodw = bwd_only_rate(flow, p, s, skip_dw=True)
-        step = fwd_bwd_rate(flow, p, s, skip_dw=False)
         ladder[name] = {"params_folded": P,
                         "bwd_full_samples_per_sec": full,
                         "bwd_skip_dw_samples_per_sec": nodw,
-                        "fwd_bwd_samples_per_sec": step,
                         "dw_ns_per_sample": 1e9 * (1 / full - 1 / nodw),
                         "dw_ns_per_sample_per_param":
                             1e9 * (1 / full - 1 / nodw) / P}
+        if args.fwd_bwd:
+            ladder[name]["fwd_bwd_samples_per_sec"] = fwd_bwd_rate(
+                flow, p, s, skip_dw=False)
         print(name, json.dumps(ladder[name]), flush=True)
     out["flagship10d"] = ladder
 
@@ -134,16 +154,17 @@ def main():
         "zero_param_floor_samples_per_sec": 1.0 / c0,
     }
 
-    # ---- camel control (params ~ free: dW term should be ~0) ----
-    flow2, p2, s2 = factory.build_pwquad_flow(
-        jax.random.PRNGKey(0), 2, 2, 4, (3, 3, 3), jnp.float32)
-    out["camel2d"] = {
-        "params_folded": n_params(flow2, p2, s2),
-        "bwd_full_samples_per_sec": bwd_only_rate(flow2, p2, s2, False,
-                                                  n=1 << 20),
-        "bwd_skip_dw_samples_per_sec": bwd_only_rate(flow2, p2, s2, True,
-                                                     n=1 << 20),
-    }
+    if args.camel:
+        # ---- camel control (params ~ free: dW term should be ~0) ----
+        flow2, p2, s2 = factory.build_pwquad_flow(
+            jax.random.PRNGKey(0), 2, 2, 4, (3, 3, 3), jnp.float32)
+        out["camel2d"] = {
+            "params_folded": n_params(flow2, p2, s2),
+            "bwd_full_samples_per_sec": bwd_only_rate(flow2, p2, s2, False,
+                                                      n=1 << 20),
+            "bwd_skip_dw_samples_per_sec": bwd_only_rate(flow2, p2, s2, True,
+                                                         n=1 << 20),
+        }
 
     print(json.dumps(out))
 
