@@ -928,27 +928,35 @@ class BasicManager(ModelAPI):
         # chain m chunks inside ONE jit (threading params/bn/opt through)
         # and difference two m values, so this environment's fixed
         # per-dispatch tunnel latency (~24+ ms; grows with executable size)
-        # cancels exactly — same protocol as bench.paired_scan_rate.  A
-        # naive time(chunk)/k0 overstated the 1M-batch camel epoch ~2x.
-        @partial(jax.jit, static_argnames=("m",))
+        # cancels exactly.  m is a DYNAMIC while_loop trip count, not a
+        # static arg: one executable serves both m values, so the fixed
+        # cost is identical on both sides of the difference (two separate
+        # executables' dispatch costs differ by ms-scale noise — enough to
+        # corrupt the difference when the chunk itself is only a few ms,
+        # e.g. the 1M-batch camel stale-kernel chunk).  Same protocol as
+        # tools/measure_dw_bound.paired_step_rate.
+        @jax.jit
         def multi(a, m):
-            def body(carry, j):
-                p, bn, opt, bm, bpb, pre, cnt, ll = carry
-                c, _ = chunk_fn(p, bn, opt, bm, bpb, pre, cnt, ll,
-                                jax.random.fold_in(a[8], j), a[9], a[10],
-                                k=k0)
-                return c[:8], None
-            carry, _ = jax.lax.scan(body, (a[0], a[1], a[2], a[3], a[4],
-                                           a[5], a[6], a[7]),
-                                    jnp.arange(m, dtype=jnp.int32))
+            def cond(c):
+                return c[0] < m
+            def body(c):
+                j, (p, bn, opt, bm, bpb, pre, cnt, ll) = c
+                ch, _ = chunk_fn(p, bn, opt, bm, bpb, pre, cnt, ll,
+                                 jax.random.fold_in(a[8], j), a[9], a[10],
+                                 k=k0)
+                return j + 1, tuple(ch[:8])
+            _, carry = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), (a[0], a[1], a[2], a[3], a[4],
+                                            a[5], a[6], a[7])))
             return carry[3]
 
         def timed(m):
-            jax.block_until_ready(multi(args, m=m))
+            m = jnp.int32(m)
+            jax.block_until_ready(multi(args, m))
             best = float("inf")
             for _ in range(reps):
                 t0 = _time.perf_counter()
-                jax.block_until_ready(multi(args, m=m))
+                jax.block_until_ready(multi(args, m))
                 best = min(best, _time.perf_counter() - t0)
             return best
 
