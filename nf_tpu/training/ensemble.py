@@ -29,32 +29,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Initial-guess per-program width for this class of vmapped training
-# programs: runs x mini_batch sample rows.  64 runs x batch 10000 (640k
-# rows) reproducibly faulted the remote v5e runtime in r2 — the failure is
-# NOT a host-visible OOM (the allocator estimate below stays far under the
-# HBM budget); the worker process dies mid-program ("remote TPU worker
-# terminated", connection reset) which is consistent with a runtime/DMA
-# limit rather than memory pressure.  160k rows (16 x 10000) is long-term
-# stable; the default keeps 2x headroom below the observed fault point.
+# Measured per-dispatch limits for this class of vmapped training
+# programs, bisected on the live v5e runtime with
+# tools/probe_ensemble_ceiling.py (r5 run, table in
+# docs/ENSEMBLE_CEILING.md).  The probe varies each candidate limit with
+# the others held fixed; the verdicts:
 #
-# This constant is ONLY a starting point, not a safety guarantee:
+#   * sample rows are NOT binding — 640k rows (the r2 fault config,
+#     64 x 10000) and 1.28M rows (both as 128 x 10000 and as one
+#     1.28M-row batch) all complete cleanly on the current runtime;
+#   * scan depth is NOT binding (32 epochs at 320k rows ok);
+#   * vmap WIDTH is the measured boundary: 128 runs complete, 256 runs
+#     never return within 900 s (a 4-epoch toy program) — whether the
+#     hang is compile blowup or a runtime stall, width > 128 is unusable.
+#
+# History: the r2 "640k rows" fault that motivated the original
+# 320k-row guard did not reproduce — that ceiling was either transient or
+# runtime-version-specific.  The r4 multi-channel instance (one dispatch
+# containing a 300-epoch x 8-minibatch scan, ~2.5e9 total rows) remains
+# the evidence for a total program-duration limit, which epochs_per_call
+# chunking addresses on that path.
+#
+# These constants are starting points, not safety guarantees:
 # train_ensemble retries any group whose device program dies with
 # progressively halved group sizes (_ADAPTIVE fallback below), so an
-# environment with a different ceiling converges to a working size instead
-# of faulting permanently.  Bisect the actual boundary on a given runtime
-# with tools/probe_ensemble_ceiling.py.
-#
-# Second observed instance (r4): a multi-channel training dispatch with a
-# 300-epoch x 8-minibatch lax.scan (2 channels x 524288 rows/minibatch,
-# ~2.5e9 total sample rows in ONE device program) killed the same remote
-# worker with the same signature ("TPU worker process crashed or
-# restarted", not an allocator OOM — the per-minibatch working set was
-# only ~50 MB).  Chunking the same program into 25-epoch dispatches
-# (multichannel.train_multichannel(epochs_per_call=...)) runs clean,
-# pointing at total per-dispatch program size/duration, not width, as the
-# binding variable.
-MAX_SAMPLE_ROWS_PER_CALL = 320_000
+# environment with a different ceiling converges to a working size
+# instead of faulting permanently.  Re-bisect a new runtime with the
+# probe tool.
+MAX_RUNS_PER_CALL = 128          # measured: 128 ok, 256 unusable
+MAX_SAMPLE_ROWS_PER_CALL = 1_280_000  # largest probed-ok row count
 
 # Exception types treated as "the device program / runtime died" and worth
 # retrying at a smaller group size.  Anything else (shape errors, user f
@@ -103,7 +106,8 @@ def auto_runs_per_call(flow, params, bn_state, mini_batch_size,
                        n_minibatches, epochs, n_runs, dtype=jnp.float32,
                        hbm_budget_bytes=None):
     """Derive the vmapped group size from the device memory budget AND the
-    empirical runtime-stability ceiling (see MAX_SAMPLE_ROWS_PER_CALL)."""
+    measured runtime ceilings (MAX_RUNS_PER_CALL, the binding one, plus
+    MAX_SAMPLE_ROWS_PER_CALL as the largest probed-ok row count)."""
     if hbm_budget_bytes is None:
         stats = {}
         try:
@@ -116,7 +120,7 @@ def auto_runs_per_call(flow, params, bn_state, mini_batch_size,
                                  n_minibatches, epochs, dtype)
     by_mem = max(int(hbm_budget_bytes // max(per_run, 1)), 1)
     by_rows = max(MAX_SAMPLE_ROWS_PER_CALL // max(mini_batch_size, 1), 1)
-    return max(min(by_mem, by_rows, n_runs), 1)
+    return max(min(by_mem, by_rows, MAX_RUNS_PER_CALL, n_runs), 1)
 
 
 def stack_ensemble(init_fn, key, n_runs):

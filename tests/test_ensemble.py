@@ -109,9 +109,11 @@ def test_ensemble_grouping_matches_single_call():
 
 def test_auto_group_size():
     """runs_per_call='auto' derives the group size from the memory estimate
-    and the empirical sample-row ceiling (VERDICT r2 weak #4)."""
+    and the measured runtime ceilings (probe table in
+    docs/ENSEMBLE_CEILING.md)."""
     from nf_tpu.training.ensemble import (auto_runs_per_call,
                                           estimate_run_bytes,
+                                          MAX_RUNS_PER_CALL,
                                           MAX_SAMPLE_ROWS_PER_CALL)
     flow, p_stack, s_stack = _ensemble(2)
     p0, s0 = run_index(p_stack, 0), run_index(s_stack, 0)
@@ -119,12 +121,16 @@ def test_auto_group_size():
     per_run = estimate_run_bytes(flow, p0, s0, 10000, 1, 50)
     assert per_run > 0
 
-    # the r2 crash config: 64 runs x mini_batch 10000 -> the row ceiling
-    # must cap the group well below 64 regardless of memory
-    g = auto_runs_per_call(flow, p0, s0, 10000, 1, 50, 64)
-    assert g <= MAX_SAMPLE_ROWS_PER_CALL // 10000
-    assert g >= 1
-    # tiny batches: memory/row limits don't bind, use all runs
+    # the measured binding limit is vmap WIDTH (256 runs unusable,
+    # 128 ok): a 512-run request with tiny batches must cap at the
+    # width ceiling regardless of memory/rows
+    g_wide = auto_runs_per_call(flow, p0, s0, 100, 1, 10, 512)
+    assert g_wide == MAX_RUNS_PER_CALL
+    # the rows guard still applies as a secondary cap
+    g = auto_runs_per_call(flow, p0, s0, MAX_SAMPLE_ROWS_PER_CALL // 2,
+                           1, 50, 8)
+    assert g <= 2
+    # tiny batches, few runs: no limit binds, use all runs
     g_small = auto_runs_per_call(flow, p0, s0, 100, 1, 10, 8)
     assert g_small == 8
 
@@ -142,9 +148,10 @@ def test_ensemble_auto_grouping_completes_64_runs():
                          preburn_time=0, kill_counter=100)
     assert res["history"].shape == (64, 2)
     assert res["group_size"] >= 1
-    # the row ceiling binds: 64 x 6000 = 384k rows > MAX_SAMPLE_ROWS
-    from nf_tpu.training.ensemble import MAX_SAMPLE_ROWS_PER_CALL
-    assert res["group_size"] <= MAX_SAMPLE_ROWS_PER_CALL // 6000
+    from nf_tpu.training.ensemble import (MAX_RUNS_PER_CALL,
+                                          MAX_SAMPLE_ROWS_PER_CALL)
+    assert res["group_size"] <= MAX_RUNS_PER_CALL
+    assert res["group_size"] * 6000 <= MAX_SAMPLE_ROWS_PER_CALL
     assert np.isfinite(np.asarray(res["best_loss"])).all()
 
 
