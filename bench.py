@@ -39,6 +39,14 @@ import jax
 import jax.numpy as jnp
 
 BUDGET_SEC = float(os.environ.get("NF_TPU_BENCH_BUDGET_SEC", "900"))
+# Absolute self-kill deadline (insurance against pathological remote-compile
+# latency — single compiles have been observed to take up to ~1020 s, which
+# no per-stage budget check can pre-empt once the stage has started).  At
+# the deadline the watchdog emits the last complete compact record and
+# exits 0, so an external `timeout` can never turn a slow compile into an
+# rc=124 with an unparseable tail (the r4 failure mode).  0 disables.
+HARD_DEADLINE_SEC = float(
+    os.environ.get("NF_TPU_BENCH_HARD_DEADLINE_SEC", "2400"))
 T0 = time.time()
 
 
@@ -114,6 +122,26 @@ class Bench:
         self.stage_seconds = {}
         self.value = 0.0
         self.headline_ready = False
+        if HARD_DEADLINE_SEC > 0:
+            import threading
+            threading.Thread(target=self._watchdog, daemon=True).start()
+
+    def _watchdog(self):
+        delay = HARD_DEADLINE_SEC - (time.time() - T0)
+        if delay > 0:
+            time.sleep(delay)
+        print(f"# hard deadline {HARD_DEADLINE_SEC:.0f}s hit mid-stage; "
+              "emitting last complete record", flush=True)
+        try:
+            line = self.compact()
+        except Exception:  # racing a stage's extra[] write
+            line = json.dumps({
+                "metric": "camel2d_flow_samples_per_sec_per_chip",
+                "value": self.value, "unit": "samples/s",
+                "vs_baseline": self.value / 1e7,
+                "extra": {"hard_deadline_hit": True}})
+        print(line, flush=True)
+        os._exit(0)
 
     def compact(self):
         rec = {
