@@ -45,8 +45,11 @@ BUDGET_SEC = float(os.environ.get("NF_TPU_BENCH_BUDGET_SEC", "900"))
 # the deadline the watchdog emits the last complete compact record and
 # exits 0, so an external `timeout` can never turn a slow compile into an
 # rc=124 with an unparseable tail (the r4 failure mode).  0 disables.
+# Default 1700 s: well above the measured full-run wall-clock (~1050 s,
+# 2026-08-19 validation) yet below any plausible external timeout, so the
+# rc=0 guarantee holds even if the driver's own limit is ~30 min.
 HARD_DEADLINE_SEC = float(
-    os.environ.get("NF_TPU_BENCH_HARD_DEADLINE_SEC", "2400"))
+    os.environ.get("NF_TPU_BENCH_HARD_DEADLINE_SEC", "1700"))
 T0 = time.time()
 
 

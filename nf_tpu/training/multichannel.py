@@ -54,6 +54,51 @@ from nf_tpu.flows import model as fmodel
 
 _EPS_U = 1e-9
 
+# Salt for deriving the compaction-permutation key from a batch key
+# (jax.random.fold_in) so the batch's own stream is untouched — the
+# compacted path draws bit-identical proposals to the uncompacted one.
+_PERM_SALT = 0x5EED
+
+
+def _compact_rows(mom, xb, v, accept, capacity, perm_key):
+    """Gather <= ``capacity`` accepted rows into ONE packed array.
+
+    Returns ``(payload [capacity, P*4 + xb_dim + 1], kept)`` with rows
+    ``[momenta.flat | xb | v]``; the host slices ``[:kept]``.  Packing
+    everything into a single array matters on a tunnel-attached TPU:
+    each separate device->host array pays a fixed ~24 ms round-trip
+    (measured, tools/probe_unweight_cost.py), so one payload + one small
+    stats vector beats four loose arrays even before the 1/accept-rate
+    bandwidth saving.
+
+    The accepted rows here are NOT exchangeable across the flattened
+    axis (strata are channel-ordered), so "keep the first ``capacity``"
+    would bias toward low channel indices on overflow.  A uniform random
+    permutation is applied first: the kept subset is then a uniform
+    random subset of the accepted rows, which leaves the kept sample
+    exactly f-distributed under any overflow.  Without overflow the kept
+    SET equals the uncompacted accepted set (order differs).
+    """
+    n = v.shape[0]
+    perm = jax.random.permutation(perm_key, n)
+    idx = perm[jnp.nonzero(accept[perm], size=capacity, fill_value=0)[0]]
+    payload = jnp.concatenate(
+        [mom.reshape(n, -1)[idx], xb.reshape(n, -1)[idx], v[idx][:, None]],
+        axis=1)
+    return payload, jnp.minimum(jnp.sum(accept), capacity)
+
+
+def _unpack_rows(rows, xb_dim=2):
+    """Host-side inverse of :func:`_compact_rows` row packing."""
+    n_particles = (rows.shape[1] - xb_dim - 1) // 4
+    mom = rows[:, :n_particles * 4].reshape(-1, n_particles, 4)
+    return mom, rows[:, n_particles * 4:-1], rows[:, -1]
+
+
+def _size_capacity(rate, n, floor=1024):
+    """Gather capacity from an accept-rate estimate with 1.5x headroom."""
+    return int(min(n, max(floor, int(1.5 * rate * n) + 16)))
+
 
 def build_channel_flows(key, channels, n_cells, n_bins, nn_layers,
                         dtype=None, final_rank=None, activation="exp"):
@@ -402,6 +447,7 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
                           batch_per_channel=1 << 15, w_max=None,
                           wmax_quantile=1.0, max_batches=1000,
                           per_channel_max=False, partial_unweight=False,
+                          compact=True, batches_per_call=8,
                           **kw):
     """Unweighted event generation from the learned mixture (host loop).
 
@@ -454,6 +500,23 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
     per-channel quantile AND the global scheme — see
     docs/PERFORMANCE.md).
 
+    ``compact=True`` (default) performs the accept-reject and row
+    gathering ON DEVICE and transfers one packed payload of accepted
+    rows per dispatch — with ``batches_per_call`` proposal batches
+    chained in a single ``lax.map`` dispatch — instead of pulling every
+    proposal's momenta to host each batch.  Measured on the
+    tunnel-attached v5e (tools/probe_unweight_cost.py): the uncompacted
+    loop pays ~430 ms/batch against a 36 ms device floor (fixed ~24 ms
+    per transferred array + ~24 MB/s effective bandwidth), so compaction
+    + chaining is the difference between ~1k and ~10k events/s.
+    Statistically exact: the compacted accepted SET equals the
+    uncompacted one (order permuted) unless a batch's accepts overflow
+    the auto-sized capacity, in which case a uniform random subset is
+    kept (exchangeable-safe — see :func:`_compact_rows`) and the
+    capacity doubles.  ``compact=False`` keeps the reference host loop;
+    ``batches_per_call=1`` keeps per-batch dispatch granularity (the
+    proposal key sequence is identical in all modes).
+
     Returns ``(events [>= n_events, n_particles, 4] COM momenta,
     xb [n, 2], efficiency, n_overweight)``.
     """
@@ -461,7 +524,8 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
         return _unweight_per_channel_max(
             channels, flows, params, states, matrix_element, E_cm, key,
             alphas, n_events, batch_per_channel, w_max, wmax_quantile,
-            max_batches, partial_unweight=partial_unweight, **kw)
+            max_batches, partial_unweight=partial_unweight,
+            compact=compact, rounds_per_call=batches_per_call, **kw)
     C = len(channels)
     alphas = jnp.asarray(alphas)
 
@@ -477,17 +541,21 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
 
     batch_jit = jax.jit(batch_fn)
 
+    est_rate = None
     if w_max is None:
         key, sub = jax.random.split(key)
         v, _, _, _ = batch_jit(sub)
         ref = jnp.max(v) if wmax_quantile >= 1.0 \
             else jnp.quantile(v, wmax_quantile)
         w_max = float(ref) * 1.05
+        est_rate = float(jnp.mean(jnp.minimum(1.0, v / w_max)))
 
+    CB = C * batch_per_channel
     out_ev, out_xb, out_w = [], [], []
     n_acc, n_prop, n_over, v_sum = 0, 0, 0, 0.0
-    for _ in range(max_batches):
-        key, sub = jax.random.split(key)
+
+    def host_batch(sub):
+        nonlocal n_acc, n_prop, n_over, v_sum
         v, u, mom, xb = batch_jit(sub)
         acc = np.asarray(u * w_max < v).reshape(-1)
         out_ev.append(np.asarray(mom).reshape(-1, mom.shape[2], 4)[acc])
@@ -499,8 +567,66 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
         n_prop += acc.size
         n_over += int(np.asarray(jnp.sum(v > w_max)))
         v_sum += float(jnp.sum(v))
-        if n_acc >= n_events:
-            break
+        return float(acc.mean())
+
+    def make_cstep(capacity):
+        def one(sub):
+            v, u, mom, xb = batch_fn(sub)
+            vf, uf = v.reshape(-1), u.reshape(-1)
+            acc = uf * w_max < vf
+            payload, kept = _compact_rows(
+                mom.reshape(CB, -1, 4), xb.reshape(CB, -1), vf, acc,
+                capacity, jax.random.fold_in(sub, _PERM_SALT))
+            stats = jnp.stack([kept.astype(vf.dtype),
+                               jnp.sum(acc).astype(vf.dtype),
+                               jnp.sum(vf > w_max).astype(vf.dtype),
+                               jnp.sum(vf)])
+            return payload, stats
+        return jax.jit(lambda subs: jax.lax.map(one, subs))
+
+    if not compact:
+        for _ in range(max_batches):
+            key, sub = jax.random.split(key)
+            host_batch(sub)
+            if n_acc >= n_events:
+                break
+    else:
+        k_call = max(int(batches_per_call), 1)
+        n_batches, capacity, cstep = 0, None, None
+        if est_rate is not None:
+            capacity = _size_capacity(est_rate, CB)
+        while n_batches < max_batches and n_acc < n_events:
+            if capacity is None:  # w_max was given: size from one batch
+                key, sub = jax.random.split(key)
+                rate = host_batch(sub)
+                n_batches += 1
+                capacity = _size_capacity(max(rate, 1.0 / CB), CB)
+                continue
+            if cstep is None:
+                cstep = make_cstep(capacity)
+            subs = []
+            for _ in range(k_call):
+                key, sub = jax.random.split(key)
+                subs.append(sub)
+            payloads, stats = cstep(jnp.stack(subs))
+            payloads, stats = np.asarray(payloads), np.asarray(stats)
+            grew = False
+            for i in range(k_call):
+                kept, n_true = int(stats[i, 0]), int(stats[i, 1])
+                mom_i, xb_i, v_i = _unpack_rows(payloads[i, :kept])
+                out_ev.append(mom_i)
+                out_xb.append(xb_i)
+                if partial_unweight:
+                    out_w.append(np.maximum(1.0, v_i / w_max))
+                n_acc += kept
+                n_prop += CB
+                n_batches += 1
+                n_over += int(stats[i, 2])
+                v_sum += float(stats[i, 3])
+                grew |= n_true > capacity
+            if grew and capacity < CB:
+                capacity = min(2 * capacity, CB)
+                cstep = None
     events = np.concatenate(out_ev, axis=0)
     xbs = np.concatenate(out_xb, axis=0)
     if partial_unweight:
@@ -518,7 +644,8 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
 def _unweight_per_channel_max(channels, flows, params, states,
                               matrix_element, E_cm, key, alphas, n_events,
                               batch_per_channel, w_max, wmax_quantile,
-                              max_batches, partial_unweight=False, **kw):
+                              max_batches, partial_unweight=False,
+                              compact=True, rounds_per_call=8, **kw):
     """Per-channel-max unweighting (see :func:`multichannel_unweight`).
 
     ``w_max`` may be a length-C sequence of per-channel bounds; when
@@ -559,7 +686,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
     alphas = jnp.asarray(alphas)
     B = batch_per_channel
 
-    def make_batch(k):
+    def make_batch_fn(k):
         def fn(kk):
             k_w, k_u = jax.random.split(kk)
             w, aux = mixture_weights(
@@ -567,9 +694,10 @@ def _unweight_per_channel_max(channels, flows, params, states,
                 k_w, B, alphas, with_kinematics=True, only_channel=k, **kw)
             u = jax.random.uniform(k_u, (B,), dtype=w.dtype)
             return w[0], u, aux["momenta"][0], aux["xb"][0]
-        return jax.jit(fn)
+        return fn
 
-    batch_jits = [make_batch(k) for k in range(C)]
+    batch_fns = [make_batch_fn(k) for k in range(C)]
+    batch_jits = [jax.jit(f) for f in batch_fns]
 
     # sigma accumulators: pilot batches (when run) are folded in so every
     # channel contributes to the efficiency's sigma estimate even if it
@@ -577,6 +705,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
     w_sum = np.zeros(C)
     n_prop_k = np.zeros(C, np.int64)
 
+    pilots_v = None
     if w_max is None:
         pilots = []
         for k in range(C):
@@ -586,6 +715,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
             w_sum[k] += float(v_np.sum())
             n_prop_k[k] += B
             pilots.append(np.sort(v_np)[::-1])
+        pilots_v = pilots
         a_np = np.asarray(alphas, np.float64)
         t = np.array([p[0] for p in pilots])
         cuts = np.zeros(C, np.int64)
@@ -659,9 +789,11 @@ def _unweight_per_channel_max(channels, flows, params, states,
         # channel k's proposals) is included in the reported efficiency.
         a_thin = rate / max(rate.max(), 1e-300)
         live = np.flatnonzero(rate > 0)
-        for _ in range(max_batches):
-            key, sub = jax.random.split(key)
+
+        def host_round(sub):
             subs = jax.random.split(sub, C)
+            rates = {}
+            nonlocal n_acc, n_prop, n_over
             for k in live:
                 w, u, mom, xb = batch_jits[k](subs[k])
                 r = np.asarray(w) / w_max[k]
@@ -674,8 +806,85 @@ def _unweight_per_channel_max(channels, flows, params, states,
                 n_prop_k[k] += B
                 n_over += int((r > 1.0).sum())
                 w_sum[k] += float(np.asarray(w).sum())
-            if n_acc >= n_events:
-                break
+                rates[k] = float(acc.mean())
+            return rates
+
+        def make_rstep(caps_used):
+            # one dispatch per rounds-group: every live channel's batch,
+            # accept-reject, and row compaction run on device; the host
+            # receives ONE packed payload + one [L, 4] stats block per
+            # round (see _compact_rows for why that matters here)
+            def one(sub):
+                subs = jax.random.split(sub, C)
+                payloads, stats = [], []
+                for j, k in enumerate(live):
+                    w, u, mom, xb = batch_fns[k](subs[k])
+                    rr = w / w_max[k]
+                    acc = u < a_thin[k] * jnp.minimum(1.0, rr)
+                    payload, kept = _compact_rows(
+                        mom, xb, rr, acc, caps_used[j],
+                        jax.random.fold_in(subs[k], _PERM_SALT))
+                    payloads.append(payload)
+                    stats.append(jnp.stack([
+                        kept.astype(w.dtype),
+                        jnp.sum(acc).astype(w.dtype),
+                        jnp.sum(rr > 1.0).astype(w.dtype),
+                        jnp.sum(w)]))
+                return jnp.concatenate(payloads, 0), jnp.stack(stats, 0)
+            return jax.jit(lambda subs: jax.lax.map(one, subs))
+
+        if not compact:
+            for _ in range(max_batches):
+                key, sub = jax.random.split(key)
+                host_round(sub)
+                if n_acc >= n_events:
+                    break
+        else:
+            r_call = max(int(rounds_per_call), 1)
+            caps = None
+            if pilots_v is not None:
+                caps = [_size_capacity(
+                    a_thin[k] * float(np.mean(np.minimum(
+                        1.0, pilots_v[k] / w_max[k]))), B, floor=256)
+                    for k in live]
+            rstep, n_rounds = None, 0
+            while n_rounds < max_batches and n_acc < n_events:
+                if caps is None:  # w_max was given: size from one round
+                    key, sub = jax.random.split(key)
+                    rates = host_round(sub)
+                    n_rounds += 1
+                    caps = [_size_capacity(max(rates[k], 1.0 / B), B,
+                                           floor=256) for k in live]
+                    continue
+                if rstep is None:
+                    caps_used = list(caps)
+                    offs = np.concatenate([[0], np.cumsum(caps_used)])
+                    rstep = make_rstep(caps_used)
+                subs = []
+                for _ in range(r_call):
+                    key, sub = jax.random.split(key)
+                    subs.append(sub)
+                payloads, stats = rstep(jnp.stack(subs))
+                payloads, stats = np.asarray(payloads), np.asarray(stats)
+                for i in range(r_call):
+                    for j, k in enumerate(live):
+                        kept = int(stats[i, j, 0])
+                        n_true = int(stats[i, j, 1])
+                        rows = payloads[i, offs[j]:offs[j] + kept]
+                        mom_i, xb_i, r_i = _unpack_rows(rows)
+                        out_ev.append(mom_i)
+                        out_xb.append(xb_i)
+                        out_w.append(np.maximum(1.0, r_i))
+                        n_acc += kept
+                        n_prop += B
+                        n_prop_k[k] += B
+                        n_over += int(stats[i, j, 2])
+                        w_sum[k] += float(stats[i, j, 3])
+                        if n_true > caps_used[j] and caps[j] < B:
+                            caps[j] = min(2 * caps_used[j], B)
+                    n_rounds += 1
+                if caps != caps_used:
+                    rstep = None
         events = np.concatenate(out_ev, axis=0)
         xbs = np.concatenate(out_xb, axis=0)
         wts = np.concatenate(out_w, axis=0)
@@ -685,18 +894,60 @@ def _unweight_per_channel_max(channels, flows, params, states,
                 "n_overweight": n_over, "w_max": np.asarray(w_max)}
         return events, xbs, wts, info
 
+    def make_cbatch(k, capacity):
+        def fn(sub):
+            w, u, mom, xb = batch_fns[k](sub)
+            acc = u * w_max[k] < w
+            payload, kept = _compact_rows(
+                mom, xb, w, acc, capacity,
+                jax.random.fold_in(sub, _PERM_SALT))
+            stats = jnp.stack([kept.astype(w.dtype),
+                               jnp.sum(acc).astype(w.dtype),
+                               jnp.sum(w > w_max[k]).astype(w.dtype),
+                               jnp.sum(w)])
+            return payload, stats
+        return jax.jit(fn)
+
+    caps_pc, cbatch = [None] * C, [None] * C
+    if compact and pilots_v is not None:
+        for k in range(C):
+            if w_max[k] > 0:
+                caps_pc[k] = _size_capacity(float(np.mean(np.minimum(
+                    1.0, pilots_v[k] / w_max[k]))), B, floor=256)
+
     for _ in range(max_batches):
         k = int(host_rng.choice(C, p=p_src))
         key, sub = jax.random.split(key)
-        w, u, mom, xb = batch_jits[k](sub)
-        acc = np.asarray(u * w_max[k] < w)
-        out_ev.append(np.asarray(mom)[acc])
-        out_xb.append(np.asarray(xb)[acc])
-        n_acc += int(acc.sum())
-        n_prop += B
-        n_prop_k[k] += B
-        n_over += int(np.asarray(jnp.sum(w > w_max[k])))
-        w_sum[k] += float(jnp.sum(w))
+        if compact and caps_pc[k] is not None:
+            if cbatch[k] is None:
+                cbatch[k] = make_cbatch(k, caps_pc[k])
+            payload, stats = cbatch[k](sub)
+            payload, stats = np.asarray(payload), np.asarray(stats)
+            kept, n_true = int(stats[0]), int(stats[1])
+            mom_i, xb_i, _ = _unpack_rows(payload[:kept])
+            out_ev.append(mom_i)
+            out_xb.append(xb_i)
+            n_acc += kept
+            n_prop += B
+            n_prop_k[k] += B
+            n_over += int(stats[2])
+            w_sum[k] += float(stats[3])
+            if n_true > caps_pc[k] and caps_pc[k] < B:
+                caps_pc[k] = min(2 * caps_pc[k], B)
+                cbatch[k] = None
+        else:
+            w, u, mom, xb = batch_jits[k](sub)
+            acc = np.asarray(u * w_max[k] < w)
+            out_ev.append(np.asarray(mom)[acc])
+            out_xb.append(np.asarray(xb)[acc])
+            n_acc += int(acc.sum())
+            n_prop += B
+            n_prop_k[k] += B
+            n_over += int(np.asarray(jnp.sum(w > w_max[k])))
+            w_sum[k] += float(jnp.sum(w))
+            if compact and caps_pc[k] is None:
+                caps_pc[k] = _size_capacity(
+                    max(float(acc.mean()), 1.0 / B), B, floor=256)
         if n_acc >= n_events:
             break
     events = np.concatenate(out_ev, axis=0)

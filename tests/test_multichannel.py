@@ -332,6 +332,60 @@ def test_multichannel_partial_unweighting(channels):
         assert xbs.shape == (len(events), 2)
 
 
+def _canon_rows(events, xbs, wts=None):
+    """Order-independent canonical form (compaction permutes rows)."""
+    ev = np.asarray(events).reshape(len(events), -1)
+    order = np.lexsort([ev[:, i] for i in range(ev.shape[1])])
+    out = [ev[order], np.asarray(xbs)[order]]
+    if wts is not None:
+        out.append(np.asarray(wts)[order])
+    return out
+
+
+@pytest.mark.slow
+def test_multichannel_unweight_compaction_exact(channels):
+    """compact=True transfers device-gathered accepted rows only; the
+    accepted SET (events, xb, carried weights, efficiency bookkeeping)
+    must equal the uncompacted host loop exactly — for the global and
+    per-channel schemes, plain and partial modes, at both per-batch and
+    grouped (lax.map) dispatch granularity.  max_batches is divisible by
+    batches_per_call and n_events is unreachable so every mode draws the
+    identical batch sequence."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    alphas = jnp.asarray([0.6, 0.4])
+    kw = dict(n_events=10 ** 9, max_batches=3, batch_per_channel=2048,
+              wmax_quantile=0.9995)
+    for pcm in (False, True):
+        for partial in (False, True):
+            base = mc.multichannel_unweight(
+                channels, flows, ps, ss, me_competing, E,
+                jax.random.PRNGKey(5), alphas, compact=False,
+                per_channel_max=pcm, partial_unweight=partial, **kw)
+            assert len(base[0]) > 0
+            for bpc in (1, 3):
+                comp = mc.multichannel_unweight(
+                    channels, flows, ps, ss, me_competing, E,
+                    jax.random.PRNGKey(5), alphas, compact=True,
+                    batches_per_call=bpc, per_channel_max=pcm,
+                    partial_unweight=partial, **kw)
+                if partial:
+                    ev_b, xb_b, wt_b = _canon_rows(*base[:3])
+                    ev_c, xb_c, wt_c = _canon_rows(*comp[:3])
+                    np.testing.assert_allclose(wt_c, wt_b, rtol=1e-12)
+                    info_b, info_c = base[3], comp[3]
+                    np.testing.assert_allclose(
+                        info_c["eff"], info_b["eff"], rtol=1e-6)
+                    assert info_c["n_overweight"] == info_b["n_overweight"]
+                else:
+                    ev_b, xb_b = _canon_rows(base[0], base[1])
+                    ev_c, xb_c = _canon_rows(comp[0], comp[1])
+                    np.testing.assert_allclose(comp[2], base[2], rtol=1e-6)
+                    assert comp[3] == base[3]
+                np.testing.assert_allclose(ev_c, ev_b, rtol=1e-12)
+                np.testing.assert_allclose(xb_c, xb_b, rtol=1e-12)
+
+
 @pytest.mark.slow
 def test_multichannel_minibatch_accumulation(channels):
     """mini_batch_per_channel bounds backward memory by scanning
