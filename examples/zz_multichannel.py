@@ -172,6 +172,28 @@ def main():
         print(f"unweighted [{tag}]: {len(events)} events  "
               f"efficiency {eff:.4%}  overweight {n_over}", flush=True)
 
+    # 7. the production scheme: PARTIAL unweighting at a working quantile
+    # (accepts carry max(1, w/w_max) — exactly unbiased, ~10x the
+    # effective events of the strict bound; measured study in
+    # docs/PERFORMANCE.md) written straight to an LHE 3.0 event file.
+    events, xbs, wts, info = mcl.multichannel_unweight(
+        channels, flows, out["best_params"], ss, matrix_element,
+        E_COLLIDER, jax.random.PRNGKey(9), out["best_alphas"],
+        n_events=20_000, batch_per_channel=1 << 15,
+        wmax_quantile=0.9, per_channel_max=True, partial_unweight=True,
+        **CUTS)
+    sig_pb = float(sig_mc) / 2.56819e-9  # GeV^-2 -> pb (reference const)
+    path = _os.path.join("/tmp", "zz_multichannel.lhe")
+    from nf_tpu.utils.lhe import write_lhe
+    # average XWGTUP = sigma_pb (IDWTUP=4): normalize the carried weights
+    # to unit mean; write_lhe multiplies by the unit weight (= sigma_pb)
+    write_lhe(path, events, pdgs=[2, -2, 11, -11, 13, -13],
+              weights=wts / max(float(wts.mean()), 1e-300),
+              xb=xbs, E_beam=E_COLLIDER / 2, sigma_pb=sig_pb,
+              sigma_err_pb=float(err_mc) / 2.56819e-9)
+    print(f"partial unweighting: {len(events)} events  effective eff "
+          f"{info['eff']:.4%}  -> {path}", flush=True)
+
 
 if __name__ == "__main__":
     main()
