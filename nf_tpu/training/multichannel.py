@@ -96,8 +96,13 @@ def _unpack_rows(rows, xb_dim=2):
 
 
 def _size_capacity(rate, n, floor=1024):
-    """Gather capacity from an accept-rate estimate with 1.5x headroom."""
-    return int(min(n, max(floor, int(1.5 * rate * n) + 16)))
+    """Gather capacity from an accept-rate estimate with 1.5x headroom,
+    rounded UP to a power of two: capacity is a compiled shape, and the
+    remote-compile service charges ~60-1000 s per new program — bucketing
+    trades <=2x extra transfer rows (cheap) for shape reuse across
+    quantiles/runs (and across processes via the persistent XLA cache)."""
+    want = max(floor, int(1.5 * rate * n) + 16)
+    return int(min(n, 1 << (want - 1).bit_length()))
 
 
 def build_channel_flows(key, channels, n_cells, n_bins, nn_layers,
@@ -570,19 +575,25 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
         return float(acc.mean())
 
     def make_cstep(capacity):
-        def one(sub):
+        # w_max enters as a traced OPERAND, not a closure constant: it
+        # changes per call (pilot-dependent), and a baked-in constant
+        # would make every call a brand-new program — a 60-1000 s remote
+        # compile each time, which is exactly what the device-side
+        # compaction is meant to amortize away.
+        def one(sub, wm):
             v, u, mom, xb = batch_fn(sub)
             vf, uf = v.reshape(-1), u.reshape(-1)
-            acc = uf * w_max < vf
+            acc = uf * wm < vf
             payload, kept = _compact_rows(
                 mom.reshape(CB, -1, 4), xb.reshape(CB, -1), vf, acc,
                 capacity, jax.random.fold_in(sub, _PERM_SALT))
             stats = jnp.stack([kept.astype(vf.dtype),
                                jnp.sum(acc).astype(vf.dtype),
-                               jnp.sum(vf > w_max).astype(vf.dtype),
+                               jnp.sum(vf > wm).astype(vf.dtype),
                                jnp.sum(vf)])
             return payload, stats
-        return jax.jit(lambda subs: jax.lax.map(one, subs))
+        return jax.jit(
+            lambda subs, wm: jax.lax.map(lambda s: one(s, wm), subs))
 
     if not compact:
         for _ in range(max_batches):
@@ -608,7 +619,7 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
             for _ in range(k_call):
                 key, sub = jax.random.split(key)
                 subs.append(sub)
-            payloads, stats = cstep(jnp.stack(subs))
+            payloads, stats = cstep(jnp.stack(subs), jnp.asarray(w_max))
             payloads, stats = np.asarray(payloads), np.asarray(stats)
             grew = False
             for i in range(k_call):
@@ -813,14 +824,16 @@ def _unweight_per_channel_max(channels, flows, params, states,
             # one dispatch per rounds-group: every live channel's batch,
             # accept-reject, and row compaction run on device; the host
             # receives ONE packed payload + one [L, 4] stats block per
-            # round (see _compact_rows for why that matters here)
-            def one(sub):
+            # round (see _compact_rows for why that matters here).
+            # w_max / a_thin are traced OPERANDS — as closure constants
+            # every call would compile a new program (see make_cstep).
+            def one(sub, wm, at):
                 subs = jax.random.split(sub, C)
                 payloads, stats = [], []
                 for j, k in enumerate(live):
                     w, u, mom, xb = batch_fns[k](subs[k])
-                    rr = w / w_max[k]
-                    acc = u < a_thin[k] * jnp.minimum(1.0, rr)
+                    rr = w / wm[k]
+                    acc = u < at[k] * jnp.minimum(1.0, rr)
                     payload, kept = _compact_rows(
                         mom, xb, rr, acc, caps_used[j],
                         jax.random.fold_in(subs[k], _PERM_SALT))
@@ -831,7 +844,8 @@ def _unweight_per_channel_max(channels, flows, params, states,
                         jnp.sum(rr > 1.0).astype(w.dtype),
                         jnp.sum(w)]))
                 return jnp.concatenate(payloads, 0), jnp.stack(stats, 0)
-            return jax.jit(lambda subs: jax.lax.map(one, subs))
+            return jax.jit(lambda subs, wm, at: jax.lax.map(
+                lambda s: one(s, wm, at), subs))
 
         if not compact:
             for _ in range(max_batches):
@@ -864,7 +878,9 @@ def _unweight_per_channel_max(channels, flows, params, states,
                 for _ in range(r_call):
                     key, sub = jax.random.split(key)
                     subs.append(sub)
-                payloads, stats = rstep(jnp.stack(subs))
+                payloads, stats = rstep(jnp.stack(subs),
+                                        jnp.asarray(w_max),
+                                        jnp.asarray(a_thin))
                 payloads, stats = np.asarray(payloads), np.asarray(stats)
                 for i in range(r_call):
                     for j, k in enumerate(live):
@@ -895,15 +911,17 @@ def _unweight_per_channel_max(channels, flows, params, states,
         return events, xbs, wts, info
 
     def make_cbatch(k, capacity):
-        def fn(sub):
+        # w_max[k] is a traced operand, not a closure constant — a baked
+        # constant would recompile the program per call (see make_cstep)
+        def fn(sub, wmk):
             w, u, mom, xb = batch_fns[k](sub)
-            acc = u * w_max[k] < w
+            acc = u * wmk < w
             payload, kept = _compact_rows(
                 mom, xb, w, acc, capacity,
                 jax.random.fold_in(sub, _PERM_SALT))
             stats = jnp.stack([kept.astype(w.dtype),
                                jnp.sum(acc).astype(w.dtype),
-                               jnp.sum(w > w_max[k]).astype(w.dtype),
+                               jnp.sum(w > wmk).astype(w.dtype),
                                jnp.sum(w)])
             return payload, stats
         return jax.jit(fn)
@@ -921,7 +939,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
         if compact and caps_pc[k] is not None:
             if cbatch[k] is None:
                 cbatch[k] = make_cbatch(k, caps_pc[k])
-            payload, stats = cbatch[k](sub)
+            payload, stats = cbatch[k](sub, jnp.asarray(w_max[k]))
             payload, stats = np.asarray(payload), np.asarray(stats)
             kept, n_true = int(stats[0]), int(stats[1])
             mom_i, xb_i, _ = _unpack_rows(payload[:kept])

@@ -158,24 +158,27 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
         compact = mesh is None
     draw = draw_mesh if draw_mesh is not None \
         else _make_draw(flow, params, state, batch, train, method)
+    # w_max is passed at CALL time (a traced operand), never closed over:
+    # it changes run-to-run (pilot-dependent), and baking it in would
+    # make every generate_unweighted call compile a brand-new program.
     step = jax.jit(partial(unweighted_batch, flow, params, state, f,
-                           n_proposals=batch, w_max=w_max, train=train,
+                           n_proposals=batch, train=train,
                            draw=draw, return_weights=partial_unweight))
 
     def make_compact_step(capacity):
         # jnp.nonzero(size=) keeps the FIRST `capacity` accepted indices
         # (padded with 0 — the host slices [:k] so the pads never leak);
         # the device->host transfer is `capacity` rows instead of `batch`.
-        def _step(sub):
+        def _step(sub, wm):
             if partial_unweight:
                 x, accept, over, wtilde = unweighted_batch(
                     flow, params, state, f, sub, n_proposals=batch,
-                    w_max=w_max, train=train, draw=draw,
+                    w_max=wm, train=train, draw=draw,
                     return_weights=True)
             else:
                 x, accept, over = unweighted_batch(
                     flow, params, state, f, sub, n_proposals=batch,
-                    w_max=w_max, train=train, draw=draw)
+                    w_max=wm, train=train, draw=draw)
                 wtilde = None
             n_true = jnp.sum(accept)
             idx = jnp.nonzero(accept, size=capacity, fill_value=0)[0]
@@ -192,7 +195,7 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
     for i in range(max_batches):
         key, sub = jax.random.split(key)
         if cstep is not None:
-            xc, wc, k, n_true, over = cstep(sub)
+            xc, wc, k, n_true, over = cstep(sub, jnp.asarray(w_max))
             k = int(k)
             out.append(np.asarray(xc)[:k])
             if partial_unweight:
@@ -207,9 +210,9 @@ def generate_unweighted(flow, params, state, f, key, n_events, w_max=None,
                 break
             continue
         if partial_unweight:
-            x, accept, over, wtilde = step(sub)
+            x, accept, over, wtilde = step(sub, w_max=jnp.asarray(w_max))
         else:
-            x, accept, over = step(sub)
+            x, accept, over = step(sub, w_max=jnp.asarray(w_max))
         acc_np = np.asarray(accept)
         out.append(np.asarray(x)[acc_np])
         if partial_unweight:
