@@ -95,6 +95,44 @@ def _unpack_rows(rows, xb_dim=2):
     return mom, rows[:, n_particles * 4:-1], rows[:, -1]
 
 
+_EXEC_CACHE = None
+
+
+def _cached_jit(shape_key, build, anchors):
+    """Reuse jitted unweighting executables ACROSS calls.
+
+    jax.jit caches per function OBJECT; the unweighting steps are closures
+    rebuilt on every ``multichannel_unweight`` call, and on the
+    remote-compile backend the persistent XLA cache does not apply — so
+    without this, every call recompiles programs that are byte-identical
+    across calls (measured: 60-100 s per compile vs 13.8 ms/batch
+    execution, tools/probe_unweight_cost2.py).  The key combines the
+    static shape/config tuple with the identity of every closed-over
+    object; entries hold strong identity-verified references to params /
+    states LEAVES (jax arrays are immutable, and a functional params
+    update replaces leaves, so leaf identity is exactly "same compiled
+    constants"), channels, flows, and the matrix element — the same
+    FIFO-bounded scheme as manager._SamplerCache.  Everything that varies
+    between calls with the same model (w_max, thinning, alphas, keys)
+    enters the programs as traced operands instead.
+    """
+    global _EXEC_CACHE
+    if _EXEC_CACHE is None:
+        from nf_tpu.training.manager import _SamplerCache
+        _EXEC_CACHE = _SamplerCache(maxsize=32)
+    key = shape_key + tuple(id(a) for a in anchors)
+    fn = _EXEC_CACHE.get(key, anchors)
+    if fn is None:
+        fn = build()
+        _EXEC_CACHE.put(key, fn, anchors)
+    return fn
+
+
+def _exec_anchors(channels, flows, params, states, matrix_element):
+    return (tuple(jax.tree_util.tree_leaves((params, states)))
+            + (matrix_element,) + tuple(channels) + tuple(flows))
+
+
 def _size_capacity(rate, n, floor=1024):
     """Gather capacity from an accept-rate estimate with 1.5x headroom,
     rounded UP to a power of two: capacity is a compiled shape, and the
@@ -533,23 +571,26 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
             compact=compact, rounds_per_call=batches_per_call, **kw)
     C = len(channels)
     alphas = jnp.asarray(alphas)
+    anchors = _exec_anchors(channels, flows, params, states, matrix_element)
+    skey = ("mcu", C, batch_per_channel, E_cm, tuple(sorted(kw.items())))
 
-    def batch_fn(k):
+    def batch_fn(k, al):
         k_w, k_u = jax.random.split(k)
         w, aux = mixture_weights(channels, flows, params, states,
                                  matrix_element, E_cm, k_w,
-                                 batch_per_channel, alphas,
+                                 batch_per_channel, al,
                                  with_kinematics=True, **kw)
-        v = C * alphas[:, None] * w
+        v = C * al[:, None] * w
         u = jax.random.uniform(k_u, v.shape, dtype=v.dtype)
         return v, u, aux["momenta"], aux["xb"]
 
-    batch_jit = jax.jit(batch_fn)
+    batch_jit = _cached_jit(skey + ("batch",),
+                            lambda: jax.jit(batch_fn), anchors)
 
     est_rate = None
     if w_max is None:
         key, sub = jax.random.split(key)
-        v, _, _, _ = batch_jit(sub)
+        v, _, _, _ = batch_jit(sub, alphas)
         ref = jnp.max(v) if wmax_quantile >= 1.0 \
             else jnp.quantile(v, wmax_quantile)
         w_max = float(ref) * 1.05
@@ -561,7 +602,7 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
 
     def host_batch(sub):
         nonlocal n_acc, n_prop, n_over, v_sum
-        v, u, mom, xb = batch_jit(sub)
+        v, u, mom, xb = batch_jit(sub, alphas)
         acc = np.asarray(u * w_max < v).reshape(-1)
         out_ev.append(np.asarray(mom).reshape(-1, mom.shape[2], 4)[acc])
         out_xb.append(np.asarray(xb).reshape(-1, 2)[acc])
@@ -575,13 +616,14 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
         return float(acc.mean())
 
     def make_cstep(capacity):
-        # w_max enters as a traced OPERAND, not a closure constant: it
-        # changes per call (pilot-dependent), and a baked-in constant
+        # w_max / alphas enter as traced OPERANDS, not closure constants:
+        # they change per call (pilot-dependent), and a baked-in constant
         # would make every call a brand-new program — a 60-1000 s remote
         # compile each time, which is exactly what the device-side
-        # compaction is meant to amortize away.
-        def one(sub, wm):
-            v, u, mom, xb = batch_fn(sub)
+        # compaction is meant to amortize away.  The jit object itself is
+        # reused across calls via _cached_jit for the same reason.
+        def one(sub, wm, al):
+            v, u, mom, xb = batch_fn(sub, al)
             vf, uf = v.reshape(-1), u.reshape(-1)
             acc = uf * wm < vf
             payload, kept = _compact_rows(
@@ -592,8 +634,11 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
                                jnp.sum(vf > wm).astype(vf.dtype),
                                jnp.sum(vf)])
             return payload, stats
-        return jax.jit(
-            lambda subs, wm: jax.lax.map(lambda s: one(s, wm), subs))
+        return _cached_jit(
+            skey + ("cstep", capacity),
+            lambda: jax.jit(lambda subs, wm, al: jax.lax.map(
+                lambda s: one(s, wm, al), subs)),
+            anchors)
 
     if not compact:
         for _ in range(max_batches):
@@ -619,7 +664,8 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
             for _ in range(k_call):
                 key, sub = jax.random.split(key)
                 subs.append(sub)
-            payloads, stats = cstep(jnp.stack(subs), jnp.asarray(w_max))
+            payloads, stats = cstep(jnp.stack(subs), jnp.asarray(w_max),
+                                    alphas)
             payloads, stats = np.asarray(payloads), np.asarray(stats)
             grew = False
             for i in range(k_call):
@@ -697,18 +743,23 @@ def _unweight_per_channel_max(channels, flows, params, states,
     alphas = jnp.asarray(alphas)
     B = batch_per_channel
 
+    anchors = _exec_anchors(channels, flows, params, states, matrix_element)
+    skey = ("mcu_pc", C, B, E_cm, tuple(sorted(kw.items())))
+
     def make_batch_fn(k):
-        def fn(kk):
+        def fn(kk, al):
             k_w, k_u = jax.random.split(kk)
             w, aux = mixture_weights(
                 channels, flows, params, states, matrix_element, E_cm,
-                k_w, B, alphas, with_kinematics=True, only_channel=k, **kw)
+                k_w, B, al, with_kinematics=True, only_channel=k, **kw)
             u = jax.random.uniform(k_u, (B,), dtype=w.dtype)
             return w[0], u, aux["momenta"][0], aux["xb"][0]
         return fn
 
     batch_fns = [make_batch_fn(k) for k in range(C)]
-    batch_jits = [jax.jit(f) for f in batch_fns]
+    batch_jits = [_cached_jit(skey + ("batch", k),
+                              lambda f=f: jax.jit(f), anchors)
+                  for k, f in enumerate(batch_fns)]
 
     # sigma accumulators: pilot batches (when run) are folded in so every
     # channel contributes to the efficiency's sigma estimate even if it
@@ -721,7 +772,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
         pilots = []
         for k in range(C):
             key, sub = jax.random.split(key)
-            v, _, _, _ = batch_jits[k](sub)
+            v, _, _, _ = batch_jits[k](sub, alphas)
             v_np = np.asarray(v)
             w_sum[k] += float(v_np.sum())
             n_prop_k[k] += B
@@ -806,7 +857,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
             rates = {}
             nonlocal n_acc, n_prop, n_over
             for k in live:
-                w, u, mom, xb = batch_jits[k](subs[k])
+                w, u, mom, xb = batch_jits[k](subs[k], alphas)
                 r = np.asarray(w) / w_max[k]
                 acc = np.asarray(u) < a_thin[k] * np.minimum(1.0, r)
                 out_ev.append(np.asarray(mom)[acc])
@@ -827,11 +878,11 @@ def _unweight_per_channel_max(channels, flows, params, states,
             # round (see _compact_rows for why that matters here).
             # w_max / a_thin are traced OPERANDS — as closure constants
             # every call would compile a new program (see make_cstep).
-            def one(sub, wm, at):
+            def one(sub, wm, at, al):
                 subs = jax.random.split(sub, C)
                 payloads, stats = [], []
                 for j, k in enumerate(live):
-                    w, u, mom, xb = batch_fns[k](subs[k])
+                    w, u, mom, xb = batch_fns[k](subs[k], al)
                     rr = w / wm[k]
                     acc = u < at[k] * jnp.minimum(1.0, rr)
                     payload, kept = _compact_rows(
@@ -844,8 +895,11 @@ def _unweight_per_channel_max(channels, flows, params, states,
                         jnp.sum(rr > 1.0).astype(w.dtype),
                         jnp.sum(w)]))
                 return jnp.concatenate(payloads, 0), jnp.stack(stats, 0)
-            return jax.jit(lambda subs, wm, at: jax.lax.map(
-                lambda s: one(s, wm, at), subs))
+            return _cached_jit(
+                skey + ("rstep", tuple(caps_used), tuple(live.tolist())),
+                lambda: jax.jit(lambda subs, wm, at, al: jax.lax.map(
+                    lambda s: one(s, wm, at, al), subs)),
+                anchors)
 
         if not compact:
             for _ in range(max_batches):
@@ -880,7 +934,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
                     subs.append(sub)
                 payloads, stats = rstep(jnp.stack(subs),
                                         jnp.asarray(w_max),
-                                        jnp.asarray(a_thin))
+                                        jnp.asarray(a_thin), alphas)
                 payloads, stats = np.asarray(payloads), np.asarray(stats)
                 for i in range(r_call):
                     for j, k in enumerate(live):
@@ -911,10 +965,11 @@ def _unweight_per_channel_max(channels, flows, params, states,
         return events, xbs, wts, info
 
     def make_cbatch(k, capacity):
-        # w_max[k] is a traced operand, not a closure constant — a baked
-        # constant would recompile the program per call (see make_cstep)
-        def fn(sub, wmk):
-            w, u, mom, xb = batch_fns[k](sub)
+        # w_max[k] / alphas are traced operands, not closure constants —
+        # baked constants would recompile the program per call, and the
+        # jit object itself is reused across calls (see _cached_jit)
+        def fn(sub, wmk, al):
+            w, u, mom, xb = batch_fns[k](sub, al)
             acc = u * wmk < w
             payload, kept = _compact_rows(
                 mom, xb, w, acc, capacity,
@@ -924,7 +979,8 @@ def _unweight_per_channel_max(channels, flows, params, states,
                                jnp.sum(w > wmk).astype(w.dtype),
                                jnp.sum(w)])
             return payload, stats
-        return jax.jit(fn)
+        return _cached_jit(skey + ("cbatch", k, capacity),
+                           lambda: jax.jit(fn), anchors)
 
     caps_pc, cbatch = [None] * C, [None] * C
     if compact and pilots_v is not None:
@@ -939,7 +995,8 @@ def _unweight_per_channel_max(channels, flows, params, states,
         if compact and caps_pc[k] is not None:
             if cbatch[k] is None:
                 cbatch[k] = make_cbatch(k, caps_pc[k])
-            payload, stats = cbatch[k](sub, jnp.asarray(w_max[k]))
+            payload, stats = cbatch[k](sub, jnp.asarray(w_max[k]),
+                                       alphas)
             payload, stats = np.asarray(payload), np.asarray(stats)
             kept, n_true = int(stats[0]), int(stats[1])
             mom_i, xb_i, _ = _unpack_rows(payload[:kept])
@@ -954,7 +1011,7 @@ def _unweight_per_channel_max(channels, flows, params, states,
                 caps_pc[k] = min(2 * caps_pc[k], B)
                 cbatch[k] = None
         else:
-            w, u, mom, xb = batch_jits[k](sub)
+            w, u, mom, xb = batch_jits[k](sub, alphas)
             acc = np.asarray(u * w_max[k] < w)
             out_ev.append(np.asarray(mom)[acc])
             out_xb.append(np.asarray(xb)[acc])
