@@ -594,7 +594,10 @@ def multichannel_unweight(channels, flows, params, states, matrix_element,
         ref = jnp.max(v) if wmax_quantile >= 1.0 \
             else jnp.quantile(v, wmax_quantile)
         w_max = float(ref) * 1.05
-        est_rate = float(jnp.mean(jnp.minimum(1.0, v / w_max)))
+        # max() guards the fully-cut pilot (w_max == 0): accept rate 0,
+        # not NaN, so capacity sizing stays finite
+        est_rate = float(jnp.mean(jnp.minimum(
+            1.0, v / max(w_max, 1e-300))))
 
     CB = C * batch_per_channel
     out_ev, out_xb, out_w = [], [], []
