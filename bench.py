@@ -513,15 +513,19 @@ def main():
     B.run("endpoint_integrate", stage_endpoint_integrate, 60, headline=True)
     # cost estimates below are the r5 measured cold-stage times (+margin)
     B.run("pallas_device", stage_pallas_device, 30)
-    B.run("stale_trainer_1m", stage_stale_1m, 90)
+    # headline=True: stale_trainer_1m and flagship_rank4_trainer carry
+    # VERDICT-mandated compact keys, and a pathological-compile day can
+    # eat the whole budget in train_camel alone (observed 427-830 s for
+    # the same stage on consecutive days) — these must always attempt.
+    # The hard-deadline watchdog (1700 s) still guarantees rc=0 and a
+    # parseable compact tail if they stall.
+    B.run("stale_trainer_1m", stage_stale_1m, 90, headline=True)
     # cheap compact-key stage BEFORE the rank-4 stages: their Pallas
     # train-kernel compiles do NOT hit the persistent cache over the
     # remote backend (measured 581 s cold / 511 s "warm")
     B.run("unweight_qmc", stage_unweight_qmc, 40)
-    # est is intentionally optimistic: this carries a VERDICT-required
-    # compact key, so it should always attempt; later skips are the
-    # budget's honest response to its real ~510 s cost
-    B.run("flagship_rank4_trainer", stage_flagship_rank4_trainer, 150)
+    B.run("flagship_rank4_trainer", stage_flagship_rank4_trainer, 150,
+          headline=True)
     B.run("flagship_rank4_kernel", stage_flagship_rank4_kernel, 150)
     B.run("train_camel_warm", stage_train_warm, 60)
     B.run("xla_trainer_1m", stage_train_1m_xla, 90)

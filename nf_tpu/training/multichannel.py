@@ -287,7 +287,9 @@ def train_multichannel(channels, flows, params, states, matrix_element,
                        learn_alphas=True, alpha_damping=0.5,
                        alpha_floor=1e-2, pT_mincut=-1, delR_mincut=-1,
                        rap_maxcut=-1, pdgs=(0, 0), dtype=None, mesh=None,
-                       mini_batch_per_channel=None, epochs_per_call=None):
+                       mini_batch_per_channel=None, epochs_per_call=None,
+                       save_state=None, resume_from=None,
+                       stop_after_chunks=None):
     """Train per-channel flows (+ Kleiss-Pittau alphas) in ONE jit.
 
     ``optimizer`` is an optax transformation applied to the tuple of all
@@ -324,6 +326,20 @@ def train_multichannel(channels, flows, params, states, matrix_element,
     very large programs (the remote-runtime fault register in
     training/ensemble.py) and to regain between-dispatch progress
     visibility on long runs.
+
+    ``save_state`` (path) checkpoints the full training carry — params,
+    optimizer state, alphas, the best-ESS snapshot, and the history —
+    after every completed chunk (so pair it with ``epochs_per_call`` to
+    set the checkpoint cadence).  ``resume_from`` (path) restores it and
+    continues from the next chunk; the epoch-key stream is re-derived
+    from the caller's ``key``, so a resumed run reproduces the
+    uninterrupted run exactly (chunk-boundary-exact, the multi-channel
+    analogue of the manager's ``save_training_state``/``resume_from``).
+    The caller must pass the same channels/flows/config and key;
+    epochs / epochs_per_call are validated against the checkpoint.
+    ``stop_after_chunks`` returns after that many chunks THIS call
+    (history covers only the epochs run so far) — with ``save_state``
+    it splits one long schedule across sessions/budget windows.
 
     Returns a dict: ``params``/``alphas`` (final), ``best_params``/
     ``best_alphas`` (highest mixture ESS), ``best_ess``, and per-epoch
@@ -452,10 +468,49 @@ def train_multichannel(channels, flows, params, states, matrix_element,
 
     carry = (tuple(params), opt_state, alphas0, best0)
     hists = []
-    for c in range(n_calls):
+    c_start = 0
+
+    def _hist_concat():
+        if not hists:
+            z = np.zeros(0, np.asarray(jax.device_get(alphas0)).dtype)
+            return {"loss": z, "integral": z.copy(), "ess": z.copy(),
+                    "alphas": np.zeros((0, C), z.dtype)}
+        blocks = [np.concatenate([np.asarray(jax.device_get(h[j]))
+                                  for h in hists]) for j in range(4)]
+        return {"loss": blocks[0], "integral": blocks[1],
+                "ess": blocks[2], "alphas": blocks[3]}
+
+    if resume_from is not None:
+        from nf_tpu.utils import checkpoint as _ckpt
+        template = {"c": np.zeros((), np.int64),
+                    "config": np.zeros(2, np.int64),
+                    "carry": carry, "hist": _hist_concat()}
+        payload = _ckpt.load(resume_from, template)
+        if tuple(np.asarray(payload["config"]).tolist()) != \
+                (epochs, epochs_per_call):
+            raise ValueError(
+                "checkpoint was written with epochs/epochs_per_call = "
+                f"{tuple(np.asarray(payload['config']).tolist())}, "
+                f"resume called with ({epochs}, {epochs_per_call})")
+        carry = payload["carry"]
+        c_start = int(payload["c"])
+        hists = [tuple(payload["hist"][k]
+                       for k in ("loss", "integral", "ess", "alphas"))]
+
+    for c in range(c_start, n_calls):
         carry, hist = run(*carry,
                           keys[c * epochs_per_call:(c + 1) * epochs_per_call])
         hists.append(hist)
+        if save_state is not None:
+            from nf_tpu.utils import checkpoint as _ckpt
+            _ckpt.save(save_state, {
+                "c": np.asarray(c + 1, np.int64),
+                "config": np.asarray([epochs, epochs_per_call], np.int64),
+                "carry": jax.device_get(carry),
+                "hist": _hist_concat()})
+        if stop_after_chunks is not None and \
+                c + 1 - c_start >= stop_after_chunks:
+            break
     params, opt_state, alphas, best = carry
     losses, integrals, esses, alpha_hist = (
         jnp.concatenate([h[j] for h in hists]) for j in range(4))

@@ -332,6 +332,42 @@ def test_multichannel_partial_unweighting(channels):
         assert xbs.shape == (len(events), 2)
 
 
+def test_multichannel_train_save_resume_exact(channels, tmp_path):
+    """save_state / resume_from reproduce the uninterrupted run exactly:
+    a run stopped (and checkpointed) after chunk 2 of 4, then resumed,
+    yields bit-equal final params, best snapshot, alphas, and history."""
+    flows, ps, ss = mc.build_channel_flows(
+        jax.random.PRNGKey(0), channels, 4, 8, (16, 16))
+    common = dict(alphas=[0.5, 0.5], batch_per_channel=512, epochs=4,
+                  loss_mode="kl", epochs_per_call=1)
+    opt = optimizers.adamax(5e-3, 1e-4)
+    key = jax.random.PRNGKey(9)
+
+    full = mc.train_multichannel(channels, flows, ps, ss, me_competing, E,
+                                 opt, key, **common)
+
+    path = str(tmp_path / "mc_ckpt.msgpack")
+    part = mc.train_multichannel(channels, flows, ps, ss, me_competing, E,
+                                 opt, key, save_state=path,
+                                 stop_after_chunks=2, **common)
+    assert len(part["history"]["loss"]) == 2  # only the chunks run
+    res = mc.train_multichannel(channels, flows, ps, ss, me_competing, E,
+                                opt, key, resume_from=path, **common)
+    for a, b in zip(jax.tree_util.tree_leaves(full["best_params"]),
+                    jax.tree_util.tree_leaves(res["best_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert res["best_ess"] == full["best_ess"]
+    np.testing.assert_array_equal(res["alphas"], full["alphas"])
+    for k in ("loss", "integral", "ess", "alphas"):
+        np.testing.assert_array_equal(res["history"][k],
+                                      full["history"][k])
+    # config mismatch is rejected
+    with pytest.raises(ValueError):
+        mc.train_multichannel(channels, flows, ps, ss, me_competing, E,
+                              opt, key, resume_from=path,
+                              **dict(common, epochs_per_call=2))
+
+
 def _canon_rows(events, xbs, wts=None):
     """Order-independent canonical form (compaction permutes rows)."""
     ev = np.asarray(events).reshape(len(events), -1)
